@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.{RollupConfig, Tier, Turn}
+import graft.pivot.SeriesPivot
+import graft.rollup.GapFill
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query implementations over the read-only testdata
+  * (TESTDATA.md / FIXTURES.md §F2). The `events` table plays the
+  * transcript-analog role: series key `user_id`, role ↔ `event_type`,
+  * text ↔ `props`, measure ↔ `value`.
+  *
+  * Numeric discipline for exact DuckDB-oracle equality: every SUM is over
+  * integral values (counts, or `floor(value*1e6)` micros) so float
+  * accumulation order can't produce engine-dependent results; MIN/MAX on
+  * doubles are order-independent and exact (SURVEY.md §7.4.1).
+  */
+object Queries {
+
+  private val cfg = RollupConfig(inputPath = "", outputRoot = "")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def bucketCol(sec: Long): Column =
+    (floor(unix_timestamp(col("ts")) / sec) * sec).cast("long").as("bucket")
+
+  /** Base 1-minute rollup of the events series (one scan, one shuffle,
+    * whole-stage codegen'd hash aggregate with map-side partials).
+    */
+  def rollup1m(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), bucketCol(60))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6)).cast("long").as("vsum_micro"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+
+  /** Re-aggregate a finer events rollup into a coarser bucket — the tier
+    * cascade (sums of sums / min of mins), never rescanning raw data.
+    */
+  private def cascade(finer: DataFrame, sec: Long): DataFrame =
+    finer
+      .withColumn("bucket", (floor(col("bucket") / sec) * sec).cast("long"))
+      .groupBy("user_id", "bucket")
+      .agg(
+        sum("n").as("n"),
+        sum("vsum_micro").as("vsum_micro"),
+        min("vmin").as("vmin"),
+        max("vmax").as("vmax"))
+
+  /** 1h rollup via the 1m→1h cascade; the oracle computes 1h directly from
+    * raw rows — passing proves the cascade law end-to-end.
+    */
+  def rollup1hCascade(s: SparkSession, dir: String): DataFrame =
+    cascade(rollup1m(s, dir), 3600)
+
+  /** 1d rollup via the full 1m→1h→1d cascade. */
+  def rollup1dCascade(s: SparkSession, dir: String): DataFrame =
+    cascade(rollup1hCascade(s, dir), 86400)
+
+  /** Per-type hourly rollup with exact distinct-user counts. */
+  def typeRollup1h(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(bucketCol(3600), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+
+  /** Linear-interpolation gap-fill over the hourly per-user event counts
+    * (spine join J1 + window frames W2, SURVEY.md §2.3/§2.5).
+    */
+  def gapfill1h(s: SparkSession, dir: String): DataFrame = {
+    val pts = events(s, dir)
+      .groupBy(col("user_id"), bucketCol(3600))
+      .agg(count(lit(1)).cast("double").as("n"))
+    GapFill.fillSeries(pts, "user_id", "bucket", Seq("n"), 3600)
+  }
+
+  /** Events mapped to the transcript schema (BASELINE.json input_hint):
+    * conv_id = user_id, turn_idx = stable row_number per user by (ts,
+    * event_id), role = event_type, text = props.
+    */
+  def eventsAsTurns(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Turn] = {
+    import s.implicits._
+    events(s, dir)
+      .select(
+        col("user_id").cast("string").as("conv_id"),
+        (row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))) - 1).as("turn_idx"),
+        col("event_type").as("role"),
+        col("props").as("text"),
+        lit(null).cast("string").as("tool"),
+        col("ts"))
+      .as[Turn]
+  }
+
+  /** The flagship PyReshaper-analog path: pivot rows into compressed
+    * per-series segments, decode back, return the rows — the oracle is the
+    * RAW INPUT itself (slice-to-series equivalence, BASELINE.json
+    * north_star "mirroring PyReshaper's slice-to-series equivalence
+    * tests").
+    */
+  def pivotRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val segs = SeriesPivot.segments(eventsAsTurns(s, dir), Tier.Day, cfg)
+    SeriesPivot.decode(segs)
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), col("ts"))
+  }
+
+  /** Compression accounting over the pivoted segments (bytes/point) — not
+    * SQL-expressible; rows-only driver check.
+    */
+  def segmentStats(s: SparkSession, dir: String): DataFrame =
+    SeriesPivot.compressionStats(
+      SeriesPivot.segments(eventsAsTurns(s, dir), Tier.Day, cfg))
+
+  // ------------------------------------------------------------- TPC-H ---
+
+  /** TPC-H Q1-style aggregate (integral-exact variants of the sums). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100)).cast("long").as("sum_price_cents"),
+        count(lit(1)).as("n"))
+
+  /** Broadcast dimension join (J2): orders ⋈ customer, rolled up by market
+    * segment. The customer side is explicitly broadcast.
+    */
+  def joinBroadcastAgg(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(broadcast(customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100)).cast("long").as("sum_price_cents"))
+
+  /** Anti-join (J3 — the skip-existing/resume primitive): customers that
+    * never placed a large order (predicate pushed below the join).
+    */
+  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Deterministic top-k (rank with total tie-break, no bare LIMIT). */
+  def topParts(s: SparkSession, dir: String): DataFrame = {
+    val agg = lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+    agg
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sum_qty").desc, col("l_partkey"))).cast("long"))
+      .filter(col("rk") <= 10)
+  }
+
+  // ------------------------------------------------------ text analysis ---
+
+  /** Per-language document stats incl. whitespace token counts. */
+  def docTokenStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), length(col("text")).as("chars"),
+        size(split(col("text"), "\\s+")).as("tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("chars")).cast("long").as("sum_chars"),
+        sum(col("tokens")).cast("long").as("sum_tokens"),
+        min(col("tokens")).cast("long").as("min_tokens"),
+        max(col("tokens")).cast("long").as("max_tokens"))
+
+  /** Exact deduplication over a corpus with injected duplicates (the
+    * driver documents table has none): keep the minimum doc_id per
+    * distinct text.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 10 === 0))
+    corpus
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      .select(col("keep_id"), col("copies"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rollup_1m" -> rollup1m _,
+    "rollup_1h_cascade" -> rollup1hCascade _,
+    "rollup_1d_cascade" -> rollup1dCascade _,
+    "type_rollup_1h" -> typeRollup1h _,
+    "gapfill_1h" -> gapfill1h _,
+    "pivot_roundtrip" -> pivotRoundtrip _,
+    "segment_stats" -> segmentStats _,
+    "q1_agg" -> q1Agg _,
+    "join_broadcast_agg" -> joinBroadcastAgg _,
+    "anti_join_customers" -> antiJoinCustomers _,
+    "top_parts" -> topParts _,
+    "doc_token_stats" -> docTokenStats _,
+    "dedup_exact" -> dedupExact _)
+
+  val oracles: Map[String, String] = Map(
+    "rollup_1m" ->
+      """SELECT user_id, (epoch_us(ts) // 60000000) * 60 AS bucket,
+        |count(*) AS n, CAST(sum(floor(value*1000000)) AS BIGINT) AS vsum_micro,
+        |min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "rollup_1h_cascade" ->
+      """SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+        |count(*) AS n, CAST(sum(floor(value*1000000)) AS BIGINT) AS vsum_micro,
+        |min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "rollup_1d_cascade" ->
+      """SELECT user_id, (epoch_us(ts) // 86400000000) * 86400 AS bucket,
+        |count(*) AS n, CAST(sum(floor(value*1000000)) AS BIGINT) AS vsum_micro,
+        |min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "type_rollup_1h" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket, event_type,
+        |count(*) AS n, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "gapfill_1h" ->
+      """WITH pts AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM pts GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket FROM bounds),
+        |j AS (SELECT s.user_id, s.bucket, p.n, p.n IS NOT NULL AS present
+        |      FROM spine s LEFT JOIN pts p ON s.user_id = p.user_id AND s.bucket = p.bucket),
+        |w AS (SELECT user_id, bucket, n, present,
+        |  last_value(CASE WHEN present THEN bucket END IGNORE NULLS) OVER wp AS pb,
+        |  last_value(CASE WHEN present THEN n END IGNORE NULLS) OVER wp AS pv,
+        |  first_value(CASE WHEN present THEN bucket END IGNORE NULLS) OVER wn AS nb,
+        |  first_value(CASE WHEN present THEN n END IGNORE NULLS) OVER wn AS nv
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket,
+        |  CASE WHEN present THEN n ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END AS n,
+        |  NOT present AS filled
+        |FROM w""".stripMargin,
+    "pivot_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+        |event_type AS role, props AS text, ts
+        |FROM events""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |CAST(sum(floor(l_extendedprice*100)) AS BIGINT) AS sum_price_cents, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "join_broadcast_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(sum(floor(o_totalprice*100)) AS BIGINT) AS sum_price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "anti_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "top_parts" ->
+      """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |row_number() OVER (ORDER BY CAST(sum(l_quantity) AS BIGINT) DESC, l_partkey) AS rk
+        |FROM lineitem GROUP BY l_partkey QUALIFY rk <= 10""".stripMargin,
+    "doc_token_stats" ->
+      """SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens,
+        |CAST(min(len(string_split_regex(text, '\s+'))) AS BIGINT) AS min_tokens,
+        |CAST(max(len(string_split_regex(text, '\s+'))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS copies
+        |FROM corpus GROUP BY text""".stripMargin)
+}

@@ -1,0 +1,118 @@
+package graft.rollup
+
+import graft.{Tier, Turn}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Continuous aggregates over the transcript table (SURVEY.md §2.4 A3;
+  * north_rule "continuous aggregates ... 1m/1h/1d retention tiers").
+  *
+  * Design for 100 TB:
+  *   - ONE scan of the raw table produces the finest-tier "cube" at
+  *     `(conv_id, bucket, role, tool)` grain — a single hash-aggregate
+  *     shuffle with map-side partial aggregation (Catalyst does the
+  *     partial/final split automatically).
+  *   - Coarser tiers are computed by RE-AGGREGATING the finer cube
+  *     (sums of sums, min of mins — the classic rollup cascade; analog of
+  *     PyReshaper writing each output once from already-read slabs,
+  *     `reshaper.py :: convert`), never by rescanning raw data. The 1h
+  *     cascade input is ~bucketSec ratio smaller than raw.
+  *   - All stats are integral (Long/Int) so results are EXACTLY equal at
+  *     any parallelism (SURVEY.md §7.4.1) — no float accumulation order
+  *     issues.
+  *   - Per-role/per-tool maps are materialized only at the end, per
+  *     `(conv_id, bucket)` point, by folding the tiny (≤ |roles|·|tools|)
+  *     entry array — no extra shuffle, no join.
+  */
+object Rollups {
+
+  /** Epoch-second bucket start for a timestamp column (integral `div`, no
+    * double rounding — exact for any epoch value).
+    */
+  def bucketOf(ts: Column, bucketSec: Long): Column =
+    rebucket(unix_timestamp(ts).cast("long"), bucketSec)
+
+  private def rebucket(epochSec: Column, bucketSec: Long): Column =
+    floor(epochSec / bucketSec).cast("long") * bucketSec
+
+  /** Finest-grain cube from raw turns: one scan, one shuffle.
+    * Output: conv_id, bucket, role, tool, c, lenSum, lenMin, lenMax.
+    */
+  def cube(turns: Dataset[Turn], tier: Tier): DataFrame =
+    turns
+      .select(
+        col("conv_id"),
+        bucketOf(col("ts"), tier.bucketSec).as("bucket"),
+        col("role"),
+        col("tool"),
+        length(col("text")).as("len"))
+      .groupBy("conv_id", "bucket", "role", "tool")
+      .agg(
+        count(lit(1)).as("c"),
+        sum("len").as("lenSum"),
+        min("len").as("lenMin"),
+        max("len").as("lenMax"))
+
+  /** Rollup cascade: re-bucket a finer cube into a coarser tier.
+    * Input and output share the cube schema; only `bucket` coarsens.
+    */
+  def cascadeCube(finer: DataFrame, tier: Tier): DataFrame =
+    finer
+      .withColumn("bucket", rebucket(col("bucket"), tier.bucketSec))
+      .groupBy("conv_id", "bucket", "role", "tool")
+      .agg(
+        sum("c").as("c"),
+        sum("lenSum").as("lenSum"),
+        min("lenMin").as("lenMin"),
+        max("lenMax").as("lenMax"))
+
+  /** Materialize RollupPoint rows (FIXTURES.md §F3) from a cube: fold the
+    * per-point entry array (sorted for determinism) into byRole/byTool
+    * maps. One shuffle on (conv_id, bucket); entry arrays are tiny.
+    */
+  def points(cubeDf: DataFrame, tierName: String): DataFrame = {
+    val folded = cubeDf
+      .groupBy("conv_id", "bucket")
+      .agg(
+        sum("c").as("turns"),
+        sum("lenSum").as("textLenSum"),
+        min("lenMin").cast("int").as("textLenMin"),
+        max("lenMax").cast("int").as("textLenMax"),
+        array_sort(collect_list(struct(col("role"), col("tool"), col("c"))))
+          .as("entries"))
+    folded
+      .withColumn("byRole", foldToMap(col("entries"), "role"))
+      .withColumn("byTool", foldToMap(filter(col("entries"),
+        e => e.getField("tool").isNotNull), "tool"))
+      .select(
+        col("conv_id"), lit(tierName).as("tier"), col("bucket"),
+        col("turns"), col("byRole"), col("byTool"),
+        col("textLenSum"), col("textLenMin"), col("textLenMax"),
+        lit(false).as("filled"))
+  }
+
+  /** Fold an array<struct{role,tool,c}> into map<key, sum(c)> with SQL
+    * higher-order functions (no UDF; arrays are per-point and tiny).
+    */
+  private def foldToMap(entries: Column, keyField: String): Column =
+    aggregate(
+      entries,
+      map_from_arrays(array().cast("array<string>"), array().cast("array<bigint>")),
+      (acc, e) => {
+        val k = e.getField(keyField)
+        val prev = coalesce(element_at(acc, k), lit(0L))
+        map_concat(map_filter(acc, (mk, _) => mk =!= k),
+          map_from_arrays(array(k), array(prev + e.getField("c"))))
+      })
+
+  /** Full cascade: raw turns → cube per tier (finest from raw, coarser
+    * from finer) → points per tier, unioned with a `tier` column.
+    */
+  def allTiers(turns: Dataset[Turn], tiers: Seq[Tier]): Map[String, DataFrame] = {
+    val sorted = tiers.sortBy(_.bucketSec)
+    val cubes = sorted.tail.scanLeft(sorted.head -> cube(turns, sorted.head)) {
+      case ((_, finer), t) => t -> cascadeCube(finer, t)
+    }
+    cubes.map { case (t, c) => t.name -> points(c, t.name) }.toMap
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.gen.Synth
+import graft.pivot.SeriesPivot
+
+/** The PyReshaper-analog slice-to-series equivalence invariant
+  * (BASELINE.json input_hint; SURVEY.md §5.1): pivot → decode must
+  * reproduce the input exactly — per-turn text equality under stable
+  * (conv_id, turn_idx) ordering, both directions (no loss, no
+  * duplication, no reorder).
+  */
+class EquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val turns = Synth.tiny(spark).cache()
+  private val cfg = RollupConfig(inputPath = "", outputRoot = "")
+
+  test("synth fixture is non-trivial and deterministic") {
+    val n = turns.count()
+    assert(n > 500, s"fixture too small: $n")
+    // re-generation yields identical rows (pure hash-based, no RNG state)
+    assertSameRows(Synth.tiny(spark).toDF(), turns.toDF(), "synth determinism")
+    // skew present: hottest conversation >> median
+    val counts = turns.groupBy("conv_id").count().collect().map(_.getLong(1)).sorted
+    assert(counts.last > counts(counts.length / 2) * 5, "expected skewed conv sizes")
+  }
+
+  test("pivot → decode reproduces input exactly (1h tier)") {
+    val segs = SeriesPivot.segments(turns, Tier.Hour, cfg)
+    val decoded = SeriesPivot.decode(segs)
+    assertSameRows(decoded.toDF(), turns.toDF(), "pivot roundtrip 1h")
+  }
+
+  test("pivot → decode reproduces input exactly (1d tier)") {
+    val segs = SeriesPivot.segments(turns, Tier.Day, cfg)
+    assertSameRows(SeriesPivot.decode(segs).toDF(), turns.toDF(), "pivot roundtrip 1d")
+  }
+
+  test("salted pivot produces byte-identical segments to direct pivot") {
+    val direct = SeriesPivot.segments(turns, Tier.Hour, cfg)
+      .map(s => (s.conv_id, s.bucket, s.n, s.tsBlob.toSeq, s.idxBlob.toSeq,
+        s.roleBlob.toSeq, s.toolBlob.toSeq, s.textBlob.toSeq))
+    val salted = SeriesPivot.segmentsSalted(turns, Tier.Hour, cfg)
+      .map(s => (s.conv_id, s.bucket, s.n, s.tsBlob.toSeq, s.idxBlob.toSeq,
+        s.roleBlob.toSeq, s.toolBlob.toSeq, s.textBlob.toSeq))
+    assertSameRows(direct.toDF(), salted.toDF(), "salted == direct")
+  }
+
+  test("pivot is input-partitioning invariant") {
+    val shuffled = turns.repartition(7) // arbitrary re-partitioning/order
+    val a = SeriesPivot.decode(SeriesPivot.segments(shuffled, Tier.Hour, cfg))
+    assertSameRows(a.toDF(), turns.toDF(), "partitioning invariance")
+  }
+
+  test("segment split respects maxPointsPerSegment with consecutive seq_no") {
+    val smallCap = cfg.copy(maxPointsPerSegment = 7)
+    val segs = SeriesPivot.segments(turns, Tier.Day, smallCap).cache()
+    assert(segs.filter(_.n > 7).count() == 0, "segment over cap")
+    assertSameRows(SeriesPivot.decode(segs).toDF(), turns.toDF(), "split roundtrip")
+  }
+
+  test("compression: metadata blobs beat raw encoding on dense series") {
+    // dense fixture: few conversations with many turns → long segments
+    val dense = Synth.turns(spark, nConvs = 3, baseTurns = 4000, hotFactor = 1)
+    val segs = SeriesPivot.segments(dense, Tier.Day, cfg)
+    val stats = SeriesPivot.compressionStats(segs).collect()(0)
+    val tsBpp = stats.getAs[Double]("tsBytesPerPoint")
+    val metaBpp = stats.getAs[Double]("metaBytesPerPoint")
+    // raw encoding: 8B ts + 8B idx + ~5B role + ~2B tool ≈ 23 B/point
+    assert(tsBpp < 4.0, s"ts bytes/point $tsBpp")
+    assert(metaBpp < 8.0, s"metadata bytes/point $metaBpp")
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.gen.Synth
+import graft.rollup.{GapFill, Rollups}
+import org.apache.spark.sql.Row
+
+/** Golden tests (SURVEY.md §5.2): engine tier outputs exactly equal a
+  * single-node reference implementation (plain Scala over collected rows —
+  * the analog of PyReshaper's `serial=True` mode, `s2srun -s`). Also the
+  * cascade law: re-aggregating tier T into coarser T' equals computing T'
+  * from raw.
+  */
+class RollupGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val turns = Synth.tiny(spark).cache()
+
+  /** Single-node reference: the spec, written naively. */
+  private def reference(tier: Tier): Seq[RollupPoint] = {
+    val rows = turns.collect()
+    rows.groupBy(t => (t.conv_id,
+        Math.floorDiv(t.ts.getTime / 1000L, tier.bucketSec) * tier.bucketSec))
+      .map { case ((cid, bucket), ts) =>
+        RollupPoint(
+          conv_id = cid, tier = tier.name, bucket = bucket,
+          turns = ts.length.toLong,
+          byRole = ts.groupBy(_.role).map { case (r, g) => r -> g.length.toLong },
+          byTool = ts.filter(_.tool != null).groupBy(_.tool)
+            .map { case (r, g) => r -> g.length.toLong },
+          textLenSum = ts.map(_.text.length.toLong).sum,
+          textLenMin = ts.map(_.text.length).min,
+          textLenMax = ts.map(_.text.length).max,
+          filled = false)
+      }.toSeq
+  }
+
+  private def asComparable(df: org.apache.spark.sql.DataFrame) =
+    df.as[RollupPoint].collect()
+      .map(p => (p.conv_id, p.tier, p.bucket, p.turns,
+        p.byRole.toSeq.sorted, p.byTool.toSeq.sorted,
+        p.textLenSum, p.textLenMin, p.textLenMax, p.filled))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("1m points exactly match single-node reference") {
+    val got = asComparable(Rollups.points(Rollups.cube(turns, Tier.Minute), "1m"))
+    val want = reference(Tier.Minute)
+      .map(p => (p.conv_id, p.tier, p.bucket, p.turns, p.byRole.toSeq.sorted,
+        p.byTool.toSeq.sorted, p.textLenSum, p.textLenMin, p.textLenMax, p.filled))
+      .sortBy(t => (t._1, t._3))
+    assert(got == want)
+  }
+
+  test("cascade 1m→1h→1d equals direct computation at each tier") {
+    val c1m = Rollups.cube(turns, Tier.Minute)
+    val c1h = Rollups.cascadeCube(c1m, Tier.Hour)
+    val c1d = Rollups.cascadeCube(c1h, Tier.Day)
+    assert(asComparable(Rollups.points(c1h, "1h")) ==
+      asComparable(Rollups.points(Rollups.cube(turns, Tier.Hour), "1h")))
+    assert(asComparable(Rollups.points(c1d, "1d")) ==
+      asComparable(Rollups.points(Rollups.cube(turns, Tier.Day), "1d")))
+  }
+
+  test("1d points exactly match single-node reference via full cascade") {
+    val tiers = Rollups.allTiers(turns, Tier.cascade)
+    val got = asComparable(tiers("1d"))
+    val want = reference(Tier.Day)
+      .map(p => (p.conv_id, p.tier, p.bucket, p.turns, p.byRole.toSeq.sorted,
+        p.byTool.toSeq.sorted, p.textLenSum, p.textLenMin, p.textLenMax, p.filled))
+      .sortBy(t => (t._1, t._3))
+    assert(got == want)
+  }
+
+  test("gap-fill: spine complete, originals untouched, interpolation exact") {
+    val points = Rollups.points(Rollups.cube(turns, Tier.Minute), "1m").cache()
+    val filled = GapFill.fillPoints(points, Tier.Minute).cache()
+
+    // every conv has a complete bucket spine at 60s spacing
+    val badSpacing = filled.select($"conv_id", $"bucket")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .exists { case (_, bs) =>
+        val sorted = bs.map(_._2).sorted
+        sorted.zip(sorted.tail).exists { case (a, b) => b - a != 60L }
+      }
+    assert(!badSpacing, "spine has holes or wrong spacing")
+
+    // original (non-filled) rows pass through unchanged (maps converted to
+    // sorted entry arrays — set ops don't support MapType)
+    def comparable(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("byRole", org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.map_entries($"byRole")))
+      .withColumn("byTool", org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.map_entries($"byTool")))
+    assertSameRows(comparable(filled.filter(!$"filled").drop("filled")),
+      comparable(points.drop("filled")), "originals preserved")
+
+    // filled rows match the single-node interpolation spec
+    val byConv = points.as[RollupPoint].collect().groupBy(_.conv_id)
+    val gotFilled = filled.filter($"filled").as[RollupPoint].collect()
+    assert(gotFilled.nonEmpty, "fixture produced no gaps — strengthen Synth")
+    gotFilled.foreach { p =>
+      val series = byConv(p.conv_id).sortBy(_.bucket)
+      val prev = series.filter(_.bucket < p.bucket).last
+      val next = series.filter(_.bucket > p.bucket).head
+      def lerp(a: Long, b: Long): Long =
+        a + (b - a) * (p.bucket - prev.bucket) / (next.bucket - prev.bucket)
+      assert(p.turns == lerp(prev.turns, next.turns), s"turns at $p")
+      assert(p.textLenSum == lerp(prev.textLenSum, next.textLenSum))
+      assert(p.byRole.isEmpty && p.byTool.isEmpty)
+    }
+  }
+}
