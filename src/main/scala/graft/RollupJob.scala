@@ -25,6 +25,14 @@ object RollupJob {
 
   private def pdayCol = date_format(timestamp_seconds(col("bucket")), "yyyy-MM-dd")
 
+  private def timed[T](phase: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[rollup] $phase: $sec%.1f s")
+    (r, sec)
+  }
+
   /** Run the full pipeline. `asOfSec` drives retention (None = max input
     * bucket, deterministic — never wall-clock).
     */
@@ -38,7 +46,24 @@ object RollupJob {
     if (cfg.writeMode == "w" && io.exists(spark, pointsPath))
       sys.error(s"output $pointsPath exists and write mode is 'w'")
 
-    val turnsAll = io.read(spark, cfg.inputPath).as[Turn]
+    // include-list validation up-front (P2: error on unknown metric names,
+    // like Specifier.time_series erroring on absent variables)
+    cfg.metricsInclude.foreach { ms =>
+      val unknown = ms.filterNot(RollupConfig.AllMetrics.contains)
+      require(unknown.isEmpty,
+        s"unknown metrics ${unknown.mkString(",")}; valid: ${RollupConfig.AllMetrics.mkString(",")}")
+    }
+
+    val turnsRead = io.read(spark, cfg.inputPath).as[Turn]
+
+    // debug output limit (X3): first N conversations in conv_id order
+    val turnsAll = cfg.outputLimit match {
+      case Some(n) =>
+        val keep = turnsRead.select("conv_id").distinct()
+          .orderBy("conv_id").limit(n)
+        turnsRead.join(broadcast(keep), Seq("conv_id"), "left_semi").as[Turn]
+      case None => turnsRead
+    }
 
     // ---- wmode 'a': prune input below the committed high-water mark ----
     val turns = if (cfg.writeMode == "a") {
@@ -61,20 +86,30 @@ object RollupJob {
     val fingerprint = s"${cfg.inputPath}@${cfg.runId}"
     val sorted = cfg.tiers.sortBy(_.bucketSec)
 
-    // ---- segments (the pivot) at the finest tier ----
-    val segTier = sorted.head
-    val segs = SeriesPivot.segmentsSalted(turns, segTier, cfg)
+    // ---- segments (the pivot) at the coarsest tier: long segments amortize
+    // per-segment encode cost; memory stays bounded via maxPointsPerSegment.
+    // The sort-based streaming pivot is the default physical strategy; the
+    // salted two-phase variant (SeriesPivot.segmentsSalted) is the explicit
+    // skew escape hatch and produces identical segments (tested).
+    val segTier = sorted.last
+    val segs = SeriesPivot.segmentsSorted(turns, segTier, cfg)
       .toDF().withColumn("pday", pdayCol)
     val segsToWrite =
-      if (resume) segs.join(
+      (if (resume) segs.join(
         broadcast(committed.filter(col("tier") === s"seg-${segTier.name}")
           .select("pday")), Seq("pday"), "left_anti")
-      else segs
-    io.write(segsToWrite, segmentsPath, Seq("tier", "pday"), "overwrite")
-    Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
+      else segs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one file per (tier, pday) partition: without this every shuffle task
+    // writes into every pday dir → files = partitions × days, and each
+    // subsequent dynamic-overwrite write pays a full table listing
+    timed("segments pivot+write")(
+      io.write(segsToWrite.repartition(col("pday")), segmentsPath,
+        Seq("tier", "pday"), "overwrite"))
+    val segsWritten = Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
       segsToWrite.select(concat(lit("seg-"), col("tier")).as("tier"), col("pday")),
       fingerprint)
-    val segsWritten = segsToWrite.count()
+    segsToWrite.unpersist()
 
     // ---- rollup cascade: finest cube from raw, coarser from finer ----
     var finerCube: DataFrame = null
@@ -86,17 +121,41 @@ object RollupJob {
       cube.persist()
       cubes += cube
       finerCube = cube
-      val points = Rollups.points(cube, tier.name).withColumn("pday", pdayCol)
+      val points0 = Rollups.points(cube, tier.name).withColumn("pday", pdayCol)
+      val points = cfg.metricsInclude match {
+        case Some(ms) =>
+          val drop = Seq(
+            "turns" -> Seq("turns"), "byRole" -> Seq("byRole"),
+            "byTool" -> Seq("byTool"),
+            "textLen" -> Seq("textLenSum", "textLenMin", "textLenMax"))
+            .filterNot { case (m, _) => ms.contains(m) }.flatMap(_._2)
+          points0.drop(drop: _*)
+        case None => points0
+      }
       val (toWrite, skipped) =
         if (resume) {
           val done = committed.filter(col("tier") === tier.name).select("pday")
           (points.join(broadcast(done), Seq("pday"), "left_anti"), done.count())
         } else (points, 0L)
-      io.write(toWrite, pointsPath, Seq("tier", "pday"), "overwrite")
-      Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
+      toWrite.persist()
+      timed(s"points ${tier.name} write")(
+        io.write(toWrite.repartition(col("pday")), pointsPath,
+          Seq("tier", "pday"), "overwrite"))
+      val written = Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
         toWrite.select("tier", "pday"), fingerprint)
-      TierReport(tier.name, toWrite.count(), skipped)
+      toWrite.unpersist()
+      TierReport(tier.name, written, skipped)
     }
+
+    // ---- dimension table (O3, the `once`-file analog): conversation-level
+    // attributes written once per run, derived from the coarsest cube (no
+    // extra scan of raw data); broadcast-join side for downstream queries
+    val dims = finerCube.groupBy("conv_id").agg(
+      sum("c").as("turns_total"),
+      sum("lenSum").as("text_len_total"),
+      min("bucket").as("first_bucket"),
+      max("bucket").as("last_bucket"))
+    io.write(dims.coalesce(1), s"${cfg.outputRoot}/dims", Seq.empty, "overwrite")
 
     // ---- retention ----
     val asOf = asOfSec.getOrElse {
@@ -113,6 +172,18 @@ object RollupJob {
         "segments_written" -> segsWritten.toDouble) ++
         reports.map(r => s"points_${r.tier}" -> r.written.toDouble))
     RunReport(cfg.runId, inputRows, reports, segsWritten, retained)
+  }
+
+  /** Run several configs in one session with combined accounting — the
+    * analog of `reshaper.py :: MultiSpecReshaper.convert/print_diagnostics`
+    * (O2): one SparkSession, sequential datasets, one summary.
+    */
+  def runAll(spark: SparkSession, cfgs: Seq[RollupConfig],
+      io: TableIO = ParquetTableIO): Seq[RunReport] = {
+    val reports = cfgs.map(c => run(spark, c, io))
+    val total = reports.map(_.inputRows).sum
+    println(s"[rollup] multi-run: ${reports.size} datasets, $total total input rows")
+    reports
   }
 }
 
@@ -136,8 +207,12 @@ object RollupMain {
     // standalone runs fall back to local mode
     if (!sys.props.contains("spark.master")) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+      // 4x cores: per-partition encode cost varies with text bytes, so
+      // tasks==cores leaves cores idle behind stragglers
+      val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 4).toString)
       builder.master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.files.maxPartitionBytes", "8388608")
         .config("spark.ui.enabled", "false")
     }
     val spark = builder.getOrCreate()

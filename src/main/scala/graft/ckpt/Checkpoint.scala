@@ -53,17 +53,26 @@ object Checkpoint {
     }
 
   /** Record commits for the partitions present in `written` (must carry
-    * tier + pday columns). Appended AFTER the data write succeeds.
+    * tier + pday columns). Appended AFTER the data write succeeds. Returns
+    * the total committed row count (so callers need no extra action).
     */
   def commit(spark: SparkSession, io: TableIO, root: String, runId: String,
-      written: DataFrame, fingerprint: String): Unit = {
+      written: DataFrame, fingerprint: String): Long = {
     import spark.implicits._
     val rows = written.groupBy("tier", "pday").agg(count(lit(1)).as("rows"))
       .withColumn("run_id", lit(runId))
       .withColumn("committed_at", current_timestamp())
       .withColumn("input_fingerprint", lit(fingerprint))
       .select("run_id", "tier", "pday", "rows", "committed_at", "input_fingerprint")
-    io.write(rows, s"$root/$LineageDir", Seq.empty, "append")
+      .cache()
+    val total = rows.agg(sum("rows")).head().get(0) match {
+      case null => 0L
+      case v: Long => v
+    }
+    // control-plane table: single file per commit, not one per shuffle task
+    io.write(rows.coalesce(1), s"$root/$LineageDir", Seq.empty, "append")
+    rows.unpersist()
+    total
   }
 
   /** Append one metrics row per (phase, metric). The engine analog of the
@@ -78,6 +87,6 @@ object Checkpoint {
       .withColumn("run_id", lit(runId))
       .withColumn("phase", lit(phase))
       .withColumn("at", current_timestamp())
-    io.write(df, s"$root/$MetricsDir", Seq.empty, "append")
+    io.write(df.coalesce(1), s"$root/$MetricsDir", Seq.empty, "append")
   }
 }

@@ -259,6 +259,16 @@ object Gorilla {
     * transcripts never have null text per input_hint, so nulls are encoded
     * as empty strings); then 4-byte raw length + deflated payload.
     */
+  // Deflater/Inflater are expensive to construct (native zlib state); the
+  // encoder runs once per segment inside executor tasks, so reuse per
+  // (thread, level) with reset()
+  private val deflaters = new ThreadLocal[java.util.HashMap[Int, Deflater]] {
+    override def initialValue() = new java.util.HashMap[Int, Deflater]()
+  }
+  private val inflaters = new ThreadLocal[Inflater] {
+    override def initialValue() = new Inflater()
+  }
+
   def encodeTexts(vs: Array[String], level: Int = 6): Array[Byte] = {
     val head = ArrayBuffer[Byte]()
     writeVarInt(head, vs.length)
@@ -273,13 +283,16 @@ object Gorilla {
     val raw = new Array[Byte](head.length + body.size())
     System.arraycopy(head.toArray, 0, raw, 0, head.length)
     System.arraycopy(body.toByteArray, 0, raw, head.length, body.size())
-    val deflater = new Deflater(level)
+    var deflater = deflaters.get().get(level)
+    if (deflater == null) {
+      deflater = new Deflater(level)
+      deflaters.get().put(level, deflater)
+    } else deflater.reset()
     deflater.setInput(raw)
     deflater.finish()
     val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 16)
     val chunk = new Array[Byte](8192)
     while (!deflater.finished()) out.write(chunk, 0, deflater.deflate(chunk))
-    deflater.end()
     val compressed = out.toByteArray
     val res = new Array[Byte](4 + compressed.length)
     res(0) = (raw.length >>> 24).toByte
@@ -293,13 +306,13 @@ object Gorilla {
   def decodeTexts(blob: Array[Byte]): Array[String] = {
     val rawLen = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
       ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
-    val inflater = new Inflater()
+    val inflater = inflaters.get()
+    inflater.reset()
     inflater.setInput(blob, 4, blob.length - 4)
     val raw = new Array[Byte](rawLen)
     var off = 0
     while (off < rawLen && !inflater.finished())
       off += inflater.inflate(raw, off, rawLen - off)
-    inflater.end()
     val c = new ByteCursor(raw)
     val n = readVarInt(c)
     val lens = new Array[Int](n)

@@ -31,8 +31,12 @@ object Synth {
     import spark.implicits._
     val maxTurns = baseTurns.toLong * hotFactor
     // one row per (conv, potential turn slot); filter slots beyond the
-    // conversation's actual length
-    spark.range(nConvs.toLong * maxTurns)
+    // conversation's actual length. Generous slice count → many output
+    // files → downstream scans parallelize regardless of
+    // files.maxPartitionBytes bin-packing (values are pure functions of id,
+    // so partitioning never changes the data)
+    val slices = math.max(128, spark.sparkContext.defaultParallelism * 2)
+    spark.range(0L, nConvs.toLong * maxTurns, 1L, slices)
       .select(
         (col("id") / maxTurns).cast("long").as("conv"),
         (col("id") % maxTurns).cast("long").as("slot"))

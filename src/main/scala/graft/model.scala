@@ -34,6 +34,7 @@ case class Segment(
     conv_id: String,
     tier: String,
     bucket: Long, // epoch-seconds of bucket start (UTC)
+    seq_no: Int, // sub-segment index when a bucket exceeds maxPointsPerSegment
     n: Int,
     tsBlob: Array[Byte],
     idxBlob: Array[Byte],
@@ -97,4 +98,15 @@ case class RollupConfig(
     saltBuckets: Int = 8,
     maxPointsPerSegment: Int = 65536,
     deflateLevel: Int = 6,
-    runId: String = "run-0")
+    runId: String = "run-0",
+    // debug cap on the number of conversations processed — the analog of
+    // `s2srun -l/--limit` (reshaper.py :: convert(output_limit=N))
+    outputLimit: Option[Int] = None,
+    // include-list of point metrics to materialize; unknown names error —
+    // the analog of Specifier.time_series with its missing-variable check
+    metricsInclude: Option[Seq[String]] = None)
+
+object RollupConfig {
+  /** Metric families a RollupPoint carries (see FIXTURES.md §F3). */
+  val AllMetrics: Seq[String] = Seq("turns", "byRole", "byTool", "textLen")
+}

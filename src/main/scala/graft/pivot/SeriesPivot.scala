@@ -2,8 +2,13 @@ package graft.pivot
 
 import graft.{RollupConfig, Segment, Tier, Turn}
 import graft.codec.{Gorilla, SegBlobs, SegmentAgg}
+import graft.rollup.Rollups
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Turn + precomputed bucket, the sort key row of the streaming pivot. */
+case class TurnB(conv_id: String, turn_idx: Int, role: String, text: String,
+    tool: String, ts: java.sql.Timestamp, _bucket: Long)
 
 /** The slice→series pivot (the PyReshaper core, generalized per
   * BASELINE.json north_star): input rows arrive partitioned by TIME
@@ -94,8 +99,76 @@ object SeriesPivot {
 
   private def toSegment(convId: String, tierName: String, bucket: Long,
       b: SegBlobs): Segment =
-    Segment(convId, tierName, bucket, b.n, b.tsBlob, b.idxBlob,
+    Segment(convId, tierName, bucket, b.seq_no, b.n, b.tsBlob, b.idxBlob,
       b.roleBlob, b.toolBlob, b.textBlob)
+
+  /** Sort-based streaming pivot — the primary physical strategy (SURVEY.md
+    * §2.6 X1): hash-repartition on (conv_id, bucket), Tungsten
+    * sortWithinPartitions (spillable, no per-row object buffers), then a
+    * single streaming mapPartitions that cuts segments at group boundaries
+    * and at `maxPointsPerSegment`.
+    *
+    * One shuffle of the raw rows, each row touched once, one encode per
+    * segment. Memory is bounded by maxPointsPerSegment regardless of how
+    * hot a conversation is, so this handles skew WITHOUT salting; the
+    * salted two-phase variant remains for pathological single-key cases
+    * (results identical — asserted in tests).
+    */
+  def segmentsSorted(turns: Dataset[Turn], tier: Tier, cfg: RollupConfig): Dataset[Segment] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bucketSec = tier.bucketSec
+    val withBucket = turns
+      .withColumn("_bucket", Rollups.bucketOf(col("ts"), bucketSec))
+      .repartition(col("conv_id"), col("_bucket"))
+      .sortWithinPartitions(col("conv_id"), col("_bucket"), col("turn_idx"))
+      .as[TurnB]
+    withBucket.mapPartitions { it =>
+      new Iterator[Segment] {
+        private val pending = scala.collection.mutable.Queue.empty[Segment]
+        private var cur: TurnB = _
+        private var curKey: (String, Long) = _
+        private val idx = scala.collection.mutable.ArrayBuffer.empty[Int]
+        private val ts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        private val role = scala.collection.mutable.ArrayBuffer.empty[String]
+        private val tool = scala.collection.mutable.ArrayBuffer.empty[String]
+        private val text = scala.collection.mutable.ArrayBuffer.empty[String]
+        private var seqNo = 0
+
+        private def flush(): Unit = {
+          if (idx.nonEmpty) {
+            pending.enqueue(Segment(curKey._1, tier.name, curKey._2, seqNo, idx.length,
+              Gorilla.encodeTimestamps(ts.toArray),
+              Gorilla.encodeTimestamps(idx.map(_.toLong).toArray),
+              Gorilla.encodeStrings(role.toArray),
+              Gorilla.encodeStrings(tool.toArray),
+              Gorilla.encodeTexts(text.toArray, cfg.deflateLevel)))
+            idx.clear(); ts.clear(); role.clear(); tool.clear(); text.clear()
+            seqNo += 1
+          }
+        }
+
+        private def advance(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            cur = it.next()
+            val key = (cur.conv_id, cur._bucket)
+            if (curKey == null) curKey = key
+            if (key != curKey) { flush(); curKey = key; seqNo = 0 }
+            else if (idx.length >= cfg.maxPointsPerSegment) flush()
+            idx += cur.turn_idx
+            ts += graft.codec.SegmentAgg.toMicros(cur.ts)
+            role += cur.role
+            tool += cur.tool
+            text += cur.text
+          }
+          if (pending.isEmpty && !it.hasNext) flush()
+        }
+
+        override def hasNext: Boolean = { advance(); pending.nonEmpty }
+        override def next(): Segment = { advance(); pending.dequeue() }
+      }
+    }
+  }
 
   /** Decode segments back to turns — the inverse pivot, used by the
     * equivalence invariant (per-turn text equality, BASELINE.json

@@ -195,6 +195,101 @@ object Queries {
       .select(col("keep_id"), col("copies"))
   }
 
+  /** ROLLUP grouping sets (Catalyst Expand operator): per (user, type),
+    * per user, and grand-total counts in one pass.
+    */
+  def rollupGroupingSets(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .rollup(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6)).cast("long").as("vsum_micro"))
+
+  /** Analytic window functions: per-user event sequence with running
+    * count and running micro-sum (ordered by ts, event_id).
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir).select(
+      col("user_id"), col("event_id"),
+      row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))).cast("long").as("seq"),
+      count(lit(1)).over(w).as("running_n"),
+      sum(floor(col("value") * 1e6)).over(w).cast("long").as("running_vsum_micro"))
+  }
+
+  // --------------------------------------------- training-data pipeline ---
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents + injected exact copies (+10000) and near-copies (+20000,
+    * one token appended) — the dedup corpus (driver documents contain no
+    * duplicates).
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select("doc_id", "text")
+    docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zzzuniquetoken")).as("text")))
+  }
+
+  /** Exact pairwise word-3-gram Jaccard near-dup pairs (tau=0.6). */
+  def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.jaccardPairs(dupCorpus(s, dir), "doc_id", "text", 3, 0.6)
+
+  /** MinHash+LSH near-dup pairs, exact-verified at tau=0.8. With k=32/16
+    * bands the detection probability at s>=0.8 is 1-(1-s^2)^16 > 0.9999998
+    * and the hash family is deterministic, so the result equals the exact
+    * Jaccard pairs (the oracle) on this corpus.
+    */
+  def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashDupPairs(dupCorpus(s, dir), "doc_id", "text",
+      n = 3, k = 32, bands = 16, minJaccard = 0.8)
+
+  /** SimHash near-dup pairs (Hamming <= 3) — not SQL-expressible. */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashDupPairs(dupCorpus(s, dir), "doc_id", "text", 3)
+
+  /** Per-document text-quality metrics (scalar-function parity query). */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      graft.text.TextAnalysis.quality(col("text")).as("q"))
+      .select(col("doc_id"), col("q.chars").as("chars"),
+        col("q.tokens").as("tokens"), col("q.mean_token_len").as("mean_token_len"),
+        col("q.punct_ratio").as("punct_ratio"))
+
+  /** Language-ID distribution (heuristic stopword profiles; rows-only). */
+  def langIdDist(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("docs"))
+
+  /** Exact cosine top-10 neighbors of vec_id 0 (brute force baseline). */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)
+
+  /** SRP-LSH approximate top-10 (bucket-pruned scan; rows-only). */
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.lshTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)
+
+  /** L2 norms of all embeddings (array-fold parity query). */
+  def embedNorms(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).select(col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      graft.sim.Ann.l2Norm(col("embedding")).as("l2"))
+
+  /** Multimodal stub pipeline: binary payloads → partition-batched feature
+    * extraction (rows-only; features are arrays).
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.mediaFromDocs(documents(s, dir), "doc_id", "text"))
+      .toDF()
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rollup_1m" -> rollup1m _,
     "rollup_1h_cascade" -> rollup1hCascade _,
@@ -203,12 +298,23 @@ object Queries {
     "gapfill_1h" -> gapfill1h _,
     "pivot_roundtrip" -> pivotRoundtrip _,
     "segment_stats" -> segmentStats _,
+    "rollup_grouping_sets" -> rollupGroupingSets _,
+    "window_running" -> windowRunning _,
     "q1_agg" -> q1Agg _,
     "join_broadcast_agg" -> joinBroadcastAgg _,
     "anti_join_customers" -> antiJoinCustomers _,
     "top_parts" -> topParts _,
     "doc_token_stats" -> docTokenStats _,
-    "dedup_exact" -> dedupExact _)
+    "dedup_exact" -> dedupExact _,
+    "dedup_jaccard_pairs" -> dedupJaccardPairs _,
+    "dedup_minhash_pairs" -> dedupMinhashPairs _,
+    "dedup_simhash_pairs" -> dedupSimhashPairs _,
+    "text_quality" -> textQuality _,
+    "lang_id_dist" -> langIdDist _,
+    "ann_bruteforce" -> annBruteForce _,
+    "ann_lsh" -> annLsh _,
+    "embed_norms" -> embedNorms _,
+    "multimodal_features" -> multimodalFeatures _)
 
   val oracles: Map[String, String] = Map(
     "rollup_1m" ->
@@ -256,6 +362,19 @@ object Queries {
         |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
         |event_type AS role, props AS text, ts
         |FROM events""".stripMargin,
+    "rollup_grouping_sets" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |CAST(sum(floor(value*1000000)) AS BIGINT) AS vsum_micro
+        |FROM events GROUP BY ROLLUP (user_id, event_type)""".stripMargin,
+    "window_running" ->
+      """SELECT user_id, event_id,
+        |row_number() OVER w AS seq,
+        |count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+        |CAST(sum(floor(value*1000000)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_vsum_micro
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |CAST(sum(floor(l_extendedprice*100)) AS BIGINT) AS sum_price_cents, count(*) AS n
@@ -285,5 +404,60 @@ object Queries {
         |  UNION ALL
         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS copies
-        |FROM corpus GROUP BY text""".stripMargin)
+        |FROM corpus GROUP BY text""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardOracle(0.6),
+    "dedup_minhash_pairs" -> jaccardOracle(0.8),
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS chars,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}'']+'), x -> len(x) > 0)) AS BIGINT) AS tokens,
+        |  CASE WHEN len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}'']+'), x -> len(x) > 0)) > 0
+        |    THEN CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}'']+'), x -> len(x) > 0), x -> len(x))) AS DOUBLE)
+        |         / len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}'']+'), x -> len(x) > 0))
+        |    ELSE 0.0 END AS mean_token_len,
+        |  CASE WHEN length(text) > 0
+        |    THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END AS punct_ratio
+        |FROM documents""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_dot_product(embedding::DOUBLE[], qv) /
+        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+        |FROM scored QUALIFY rk <= 10""".stripMargin,
+    "embed_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
+        |FROM embeddings""".stripMargin)
+
+  /** Word-3-gram Jaccard pairs over the injected-duplicate corpus — shared
+    * oracle for the exact and the LSH-verified variants (the LSH result
+    * equals the exact result at tau=0.8 on this deterministic corpus).
+    */
+  private def jaccardOracle(tau: Double): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text || ' zzzuniquetoken' FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS t
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, CASE WHEN len(t) >= 3
+       |      THEN unnest(list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')))
+       |      ELSE array_to_string(t, ' ') END AS shingle
+       |    FROM toks)),
+       |sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+       |SELECT id_a, id_b, c::DOUBLE / (sa.s + sb.s - c) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE c::DOUBLE / (sa.s + sb.s - c) >= $tau""".stripMargin
 }

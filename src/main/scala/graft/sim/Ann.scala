@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * (random-hyperplane / SRP) variant as the scale path.
+  *
+  * All-vector scoring is a single scan: the query vector travels as a
+  * literal/broadcast, the dot product is a `Column` fold
+  * (`zip_with` + `aggregate`) — codegen-friendly, no UDF, no collect of the
+  * corpus. At 10^9 vectors brute force is one full scan per query; SRP
+  * bucketing prunes the scan to matching buckets (partition-prunable if the
+  * table is written partitioned by bucket).
+  */
+object Ann {
+
+  /** Cosine similarity between two array<float/double> columns (double
+    * accumulation, sequential fold — deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column) =
+      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Exact top-k neighbors of `queryId`'s vector (excluded from results):
+    * broadcast the 1-row query side, score all, deterministic rank
+    * (sim desc, id asc).
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weights (no RNG state: weight
+    * of plane p, dim j = hash-derived uniform in [-0.5, 0.5]) — the same
+    * planes at any parallelism, any session.
+    */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, j, 42))
+        (h & 0xffff).toDouble / 0xffff.toDouble - 0.5
+      }
+    }
+
+  /** SRP bucket id: sign bits of the vector against `nPlanes` hyperplanes,
+    * packed into an int. Pure Column fold over literal plane arrays.
+    */
+  def srpBucket(vec: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (w, p) =>
+      val dot = aggregate(
+        zip_with(vec, typedlit(w.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k via SRP-LSH: score only vectors in the query's
+    * bucket or any bucket at Hamming distance 1 (multi-probe) — recall
+    * traded for a pruned scan. Returns the same schema as brute force.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val withBucket = emb.withColumn("_bucket", srpBucket(col(vecCol), ps))
+    val q = withBucket.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"), col("_bucket").as("_qbucket"))
+    val probes = withBucket.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("_bucket").bitwiseXOR(col("_qbucket"))) <= 1)
+    probes
+      .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("sim"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: SRP-bucket join (exact bucket match)
+    * then exact cosine >= minSim verification — the embedding analog of
+    * MinHash-LSH dedup.
+    */
+  def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srpBucket(col("v"), ps))
+    b.as("x").join(b.as("y"), Seq("bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

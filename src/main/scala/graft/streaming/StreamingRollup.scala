@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.Tier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming ingest of the transcript table (SURVEY.md §2.10).
+  *
+  * The PRODUCTION path of this engine is batch (`RollupJob` via
+  * spark-submit, resumable from checkpoint) — the reference is strictly
+  * batch and north_rule asks for batch jobs. This module exists for the
+  * continuous-ingest variant: the same 1-minute base rollup expressed as a
+  * streaming aggregation with event-time windows and a watermark for late
+  * data; coarser tiers still cascade in batch from the streamed base (the
+  * standard lambda-free pattern: stream the finest grain, re-aggregate
+  * downstream).
+  */
+object StreamingRollup {
+
+  /** Streaming 1m rollup: event-time tumbling window per conv_id with a
+    * watermark bounding state. Output schema matches the batch cube at
+    * (conv_id, bucket) grain with count/len stats (role/tool maps stay in
+    * the batch path — streaming state stays lean).
+    */
+  def rollupStream(spark: SparkSession, inputDir: String, schema: StructType,
+      tier: Tier = Tier.Minute, watermark: String = "10 minutes"): DataFrame = {
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"),
+        window(col("ts"), s"${tier.bucketSec} seconds").as("w"))
+      .agg(
+        count(lit(1)).as("turns"),
+        sum(length(col("text"))).as("textLenSum"),
+        min(length(col("text"))).as("textLenMin"),
+        max(length(col("text"))).as("textLenMax"))
+      .select(col("conv_id"),
+        unix_timestamp(col("w.start")).as("bucket"),
+        col("turns"), col("textLenSum"), col("textLenMin"), col("textLenMax"))
+  }
+
+  /** Write the stream to an in-memory table (tests/demos) or extend with a
+    * parquet/Iceberg sink in prod. Complete mode here because a finite
+    * AvailableNow run never advances the watermark past the final windows
+    * (append mode would hold them back); a continuous prod sink would use
+    * append mode and let the watermark flush windows as it passes them.
+    */
+  def toMemorySink(df: DataFrame, name: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+}

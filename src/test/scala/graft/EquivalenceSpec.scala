@@ -36,14 +36,29 @@ class EquivalenceSpec extends SparkSpec {
     assertSameRows(SeriesPivot.decode(segs).toDF(), turns.toDF(), "pivot roundtrip 1d")
   }
 
-  test("salted pivot produces byte-identical segments to direct pivot") {
-    val direct = SeriesPivot.segments(turns, Tier.Hour, cfg)
-      .map(s => (s.conv_id, s.bucket, s.n, s.tsBlob.toSeq, s.idxBlob.toSeq,
-        s.roleBlob.toSeq, s.toolBlob.toSeq, s.textBlob.toSeq))
-    val salted = SeriesPivot.segmentsSalted(turns, Tier.Hour, cfg)
-      .map(s => (s.conv_id, s.bucket, s.n, s.tsBlob.toSeq, s.idxBlob.toSeq,
-        s.roleBlob.toSeq, s.toolBlob.toSeq, s.textBlob.toSeq))
+  test("all three pivot strategies produce byte-identical segments") {
+    def canon(ds: org.apache.spark.sql.Dataset[Segment]) =
+      ds.map(s => (s.conv_id, s.bucket, s.seq_no, s.n, s.tsBlob.toSeq,
+        s.idxBlob.toSeq, s.roleBlob.toSeq, s.toolBlob.toSeq, s.textBlob.toSeq))
+    val direct = canon(SeriesPivot.segments(turns, Tier.Hour, cfg))
+    val salted = canon(SeriesPivot.segmentsSalted(turns, Tier.Hour, cfg))
+    val sorted = canon(SeriesPivot.segmentsSorted(turns, Tier.Hour, cfg))
     assertSameRows(direct.toDF(), salted.toDF(), "salted == direct")
+    assertSameRows(direct.toDF(), sorted.toDF(), "sorted == direct")
+  }
+
+  test("sorted pivot → decode reproduces input exactly") {
+    val segs = SeriesPivot.segmentsSorted(turns, Tier.Hour, cfg)
+    assertSameRows(SeriesPivot.decode(segs).toDF(), turns.toDF(),
+      "sorted pivot roundtrip")
+  }
+
+  test("sorted pivot respects maxPointsPerSegment") {
+    val smallCap = cfg.copy(maxPointsPerSegment = 7)
+    val segs = SeriesPivot.segmentsSorted(turns, Tier.Day, smallCap).cache()
+    assert(segs.filter(_.n > 7).count() == 0, "segment over cap")
+    assertSameRows(SeriesPivot.decode(segs).toDF(), turns.toDF(),
+      "sorted split roundtrip")
   }
 
   test("pivot is input-partitioning invariant") {

@@ -1,0 +1,67 @@
+package graft
+
+import graft.gen.Synth
+import graft.io.ParquetTableIO
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** RollupJob orchestration features: dims table (once-file analog O3),
+  * output limit (X3), metric include-list (P2), multi-config run (O2).
+  */
+class JobFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-feats").toString
+  private lazy val inputPath = {
+    val p = s"$tmp/input"
+    Synth.tiny(spark).write.parquet(p)
+    p
+  }
+
+  test("dims table: one row per conversation with exact totals") {
+    val out = s"$tmp/dims"
+    RollupJob.run(spark, RollupConfig(inputPath, out, runId = "r"))
+    val dims = ParquetTableIO.read(spark, s"$out/dims")
+    val want = spark.read.parquet(inputPath)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("turns_total"),
+        sum(length(col("text"))).as("text_len_total"))
+    assertSameRows(dims.select("conv_id", "turns_total", "text_len_total"),
+      want, "dims totals")
+  }
+
+  test("outputLimit caps the processed conversations") {
+    val out = s"$tmp/limit"
+    val r = RollupJob.run(spark,
+      RollupConfig(inputPath, out, runId = "r", outputLimit = Some(5)))
+    val convs = ParquetTableIO.read(spark, s"$out/points")
+      .select("conv_id").distinct().as[String].collect().sorted
+    val expected = spark.read.parquet(inputPath).select("conv_id").distinct()
+      .orderBy("conv_id").limit(5).as[String].collect().sorted
+    assert(convs.toSeq == expected.toSeq)
+    assert(r.inputRows < Synth.tiny(spark).count())
+  }
+
+  test("metricsInclude projects points and rejects unknown names") {
+    val out = s"$tmp/metrics"
+    RollupJob.run(spark, RollupConfig(inputPath, out, runId = "r",
+      metricsInclude = Some(Seq("turns", "textLen"))))
+    val cols = ParquetTableIO.read(spark, s"$out/points").columns.toSet
+    assert(cols.contains("turns") && cols.contains("textLenSum"))
+    assert(!cols.contains("byRole") && !cols.contains("byTool"))
+    intercept[IllegalArgumentException] {
+      RollupJob.run(spark, RollupConfig(inputPath, s"$tmp/bad", runId = "r",
+        metricsInclude = Some(Seq("nope"))))
+    }
+  }
+
+  test("runAll executes multiple configs (MultiSpec analog)") {
+    val reports = RollupJob.runAll(spark, Seq(
+      RollupConfig(inputPath, s"$tmp/multi1", runId = "m1"),
+      RollupConfig(inputPath, s"$tmp/multi2", runId = "m2",
+        tiers = Seq(Tier.Hour, Tier.Day))))
+    assert(reports.size == 2)
+    assert(reports(0).tiers.map(_.tier) == Seq("1m", "1h", "1d"))
+    assert(reports(1).tiers.map(_.tier) == Seq("1h", "1d"))
+  }
+}

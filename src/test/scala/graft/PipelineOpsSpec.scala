@@ -1,0 +1,158 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup family (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash), similarity search (brute-force + SRP-LSH), text
+  * analysis, multimodal plumbing.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  /** documents + exact copies (id+10000) and near-copies (id+20000, one
+    * word appended) of every 10th doc.
+    */
+  private lazy val corpus: DataFrame = docs.select("doc_id", "text")
+    .unionByName(docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    .unionByName(docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        concat($"text", lit(" zzzuniquetoken")).as("text")))
+    .cache()
+
+  test("exact dedup keeps min-id survivor per duplicate group") {
+    val kept = Dedup.exact(corpus, "doc_id", "text")
+    assert(kept.count() == corpus.count() - docs.filter($"doc_id" % 10 === 0).count())
+    // every kept id for a duplicated text is the original (min) id
+    assert(kept.filter($"doc_id" >= 10000 && $"doc_id" < 20000).count() == 0)
+    // near-copies (different text) survive
+    assert(kept.filter($"doc_id" >= 20000).count() ==
+      docs.filter($"doc_id" % 10 === 0).count())
+  }
+
+  test("n-gram Jaccard finds exact and near duplicates with correct scores") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      minJaccard = 0.7).cache()
+    val exactPairs = pairs.filter($"id_a" < 10000 && $"id_b" === $"id_a" + 10000)
+    assert(exactPairs.count() == docs.filter($"doc_id" % 10 === 0).count())
+    assert(exactPairs.filter($"jaccard" =!= 1.0).count() == 0,
+      "exact copies must have jaccard 1.0")
+    // near-copies share all but the trailing shingles
+    val nearPairs = pairs.filter($"id_b" === $"id_a" + 20000)
+    assert(nearPairs.count() > 0)
+    assert(nearPairs.filter($"jaccard" >= 1.0).count() == 0)
+  }
+
+  test("MinHash+LSH dedup matches exact Jaccard at high similarity") {
+    // r=2, 16 bands: detection prob at s>=0.85 is 1 - (1-s^2)^16 > 0.999
+    val lsh = Dedup.minhashDupPairs(corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16, minJaccard = 0.85)
+      .select("id_a", "id_b", "jaccard")
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3,
+      minJaccard = 0.85).select("id_a", "id_b", "jaccard")
+    assertSameRows(lsh, exact, "lsh-verified == exact at tau=0.85")
+  }
+
+  test("SimHash: identical docs collide, near-dup pairs found") {
+    val sigs = Dedup.simhash(corpus, "doc_id", "text")
+    val joined = sigs.as("a").join(sigs.as("b"),
+      col("a.id") < 10000 && col("a.id") + 10000 === col("b.id"))
+    assert(joined.filter(col("a.simhash") =!= col("b.simhash")).count() == 0,
+      "identical text must produce identical simhash")
+    val pairs = Dedup.simhashDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+    val exactDupPairs = pairs.filter($"id_a" < 10000 && $"id_b" === $"id_a" + 10000)
+    assert(exactDupPairs.count() ==
+      docs.filter($"doc_id" % 10 === 0).count())
+    assert(exactDupPairs.filter($"hamming" =!= 0).count() == 0)
+  }
+
+  test("ANN: brute-force top-k is exact; LSH returns true sims and finds planted dup") {
+    val planted = emb.select("vec_id", "embedding")
+      .unionByName(emb.filter($"vec_id" === 7)
+        .select(lit(99999L).as("vec_id"), $"embedding"))
+    val brute = Ann.bruteForceTopK(planted, "vec_id", "embedding", 7, 10).cache()
+    assert(brute.count() == 10)
+    // the planted identical vector has cosine 1 → must be rank 1
+    assert(brute.filter($"rk" === 1).select("vec_id").as[Long].head() == 99999L)
+
+    val lsh = Ann.lshTopK(planted, "vec_id", "embedding", 7, 10,
+      nPlanes = 8, dim = 64).cache()
+    // identical vector hashes to the identical bucket → always probed
+    assert(lsh.filter($"rk" === 1).select("vec_id").as[Long].head() == 99999L)
+    // every LSH sim equals the exact sim computed by brute scoring
+    val bruteAll = planted.filter($"vec_id" =!= 7).crossJoin(
+      broadcast(planted.filter($"vec_id" === 7).select($"embedding".as("q"))))
+      .select($"vec_id", Ann.cosine($"embedding", $"q").as("sim_exact"))
+    val bad = lsh.join(bruteAll, "vec_id")
+      .filter(abs($"sim" - $"sim_exact") > 1e-12).count()
+    assert(bad == 0, "LSH sims must be exact cosine values")
+  }
+
+  test("embedding cosine near-dup pairs find planted duplicates") {
+    val planted = emb.select("vec_id", "embedding")
+      .unionByName(emb.filter($"vec_id" % 50 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val pairs = Ann.cosineDupPairs(planted, "vec_id", "embedding",
+      minSim = 0.999999, nPlanes = 12, dim = 64)
+    val expected = emb.filter($"vec_id" % 50 === 0).count()
+    assert(pairs.filter($"id_b" === $"id_a" + 100000).count() == expected,
+      "identical vectors share every SRP bucket, so recall must be total")
+  }
+
+  test("language ID classifies obvious samples") {
+    val samples = Seq(
+      ("the cat sat on the mat and it was happy with this", "en"),
+      ("der hund ist nicht mit der katze auf dem sofa", "de"),
+      ("le chat est dans la maison avec les enfants pour la nuit", "fr"),
+      ("el perro es un animal que vive en la casa con su familia", "es"),
+      ("我不是他们的人但是这个地方很大", "zh"),
+      ("zxqv blorp fnord", "und")).toDF("text", "expected")
+    val got = samples.withColumn("pred", TextAnalysis.langId($"text"))
+    assert(got.filter($"pred" =!= $"expected").count() == 0,
+      got.collect().mkString(", "))
+  }
+
+  test("quality scoring orders garbage below prose") {
+    val rows = Seq(
+      ("good", "The quick brown fox jumps over the lazy dog and runs into the forest with a friend of the family."),
+      ("punct", "!!!??? ... ;;; !!! ??? !!!! ,,,, ;;; ::: !!!"),
+      ("tiny", "x")).toDF("kind", "text")
+    val q = rows.select($"kind", TextAnalysis.quality($"text").as("q"))
+      .select($"kind", $"q.quality".as("score"))
+      .as[(String, Double)].collect().toMap
+    assert(q("good") > q("punct"), s"$q")
+    assert(q("good") > q("tiny"), s"$q")
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val df = Seq("Hello  World", "hello world", "hello\tworld ", "other")
+      .toDF("text")
+      .select(TextAnalysis.fingerprint($"text").as("fp"))
+    assert(df.distinct().count() == 2)
+  }
+
+  test("multimodal: binary plumbing + deterministic stub features") {
+    val media = Multimodal.mediaFromDocs(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == docs.count())
+    val f = feats.filter($"media_id" === feats.select(min("media_id"))
+      .as[Long].head()).head()
+    assert(f.features.length == Multimodal.FakeCodec.FeatureDim)
+    assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram normalized")
+    // determinism: re-extraction yields identical features
+    val again = Multimodal.extractFeatures(media)
+    assert(feats.select("media_id", "features").exceptAll(
+      again.select("media_id", "features")).count() == 0)
+  }
+}
