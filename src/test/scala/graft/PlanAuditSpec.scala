@@ -1,0 +1,85 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the optimizations we rely on at 100 TB must be
+  * visible in the plan, not assumed — column pruning to the scan, predicate
+  * pushdown, broadcast joins for small dims, whole-stage codegen on hot
+  * paths, partition pruning on (tier, pday) tables.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def scanSchemas(df: DataFrame): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    df.queryExecution.executedPlan.foreach {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        out += f.requiredSchema.fieldNames.mkString(",")
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  test("rollup_1m prunes columns: scan reads only user_id, ts, value") {
+    val schemas = scanSchemas(Queries.rollup1m(spark, sfDir))
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(!s.contains("props") && !s.contains("event_type"),
+        s"scan reads unpruned columns: $s")
+    }
+  }
+
+  test("anti-join pushes the price predicate into the orders scan") {
+    val p = plan(Queries.antiJoinCustomers(spark, sfDir))
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("\\s+", " ").contains("GreaterThan(o_totalprice"),
+      s"price filter not pushed to scan:\n$p")
+  }
+
+  test("dimension join broadcasts the customer side") {
+    val p = plan(Queries.joinBroadcastAgg(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("rollup cube aggregates with map-side partials inside codegen") {
+    val p = plan(rollup.Rollups.cube(gen.Synth.tiny(spark), Tier.Minute))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("WholeStageCodegen"), p)
+    // partial + final pair: two HashAggregate operators around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("points table reads prune partitions on tier") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    RollupJob.run(spark, RollupConfig(
+      inputPath = { val p = s"$tmp/in"; gen.Synth.tiny(spark).write.parquet(p); p },
+      outputRoot = s"$tmp/out", runId = "r"))
+    val pts = io.ParquetTableIO.read(spark, s"$tmp/out/points")
+      .filter($"tier" === "1d")
+    val scan = pts.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // partition filter present and only 1d partition directories selected
+    assert(scan.partitionFilters.nonEmpty, "no partition filters")
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    val dirs = parts.flatMap(_.files.map(_.getPath.toString)).toSeq
+    assert(dirs.nonEmpty && dirs.forall(_.contains("tier=1d")),
+      s"partition pruning failed: ${dirs.take(3)}")
+  }
+
+  test("pivot plan is one exchange + in-partition sort (no extra shuffle)") {
+    val cfg = RollupConfig("", "")
+    val p = plan(pivot.SeriesPivot.segmentsSorted(
+      gen.Synth.tiny(spark), Tier.Day, cfg).toDF())
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+    assert(p.contains("Sort ["), "missing in-partition sort")
+  }
+}
