@@ -117,6 +117,28 @@ object Queries {
         col("text"), col("ts"))
   }
 
+  /** Same roundtrip through the NATIVE Catalyst expressions
+    * (gorilla_decode_* registered via GraftExtensions/register): segments
+    * are queryable from plain SQL; result must equal the raw input.
+    */
+  def segmentDecodeSql(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GorillaFunctions.register(s)
+    SeriesPivot.segmentsSorted(eventsAsTurns(s, dir), Tier.Day, cfg)
+      .toDF().createOrReplaceTempView("segments_v")
+    s.sql(
+      """WITH d AS (
+        |  SELECT conv_id,
+        |    gorilla_decode_longs(idxBlob) AS idx,
+        |    gorilla_decode_longs(tsBlob) AS tsu,
+        |    gorilla_decode_strings(roleBlob) AS role,
+        |    gorilla_decode_texts(textBlob) AS text
+        |  FROM segments_v)
+        |SELECT conv_id, CAST(e.idx AS INT) AS turn_idx, e.role AS role,
+        |       e.text AS text, timestamp_micros(e.tsu) AS ts
+        |FROM d LATERAL VIEW explode(arrays_zip(idx, tsu, role, text)) t AS e
+        |""".stripMargin)
+  }
+
   /** Compression accounting over the pivoted segments (bytes/point) — not
     * SQL-expressible; rows-only driver check.
     */
@@ -297,6 +319,7 @@ object Queries {
     "type_rollup_1h" -> typeRollup1h _,
     "gapfill_1h" -> gapfill1h _,
     "pivot_roundtrip" -> pivotRoundtrip _,
+    "segment_decode_sql" -> segmentDecodeSql _,
     "segment_stats" -> segmentStats _,
     "rollup_grouping_sets" -> rollupGroupingSets _,
     "window_running" -> windowRunning _,
@@ -358,6 +381,11 @@ object Queries {
         |  NOT present AS filled
         |FROM w""".stripMargin,
     "pivot_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS conv_id,
+        |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+        |event_type AS role, props AS text, ts
+        |FROM events""".stripMargin,
+    "segment_decode_sql" ->
       """SELECT CAST(user_id AS VARCHAR) AS conv_id,
         |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
         |event_type AS role, props AS text, ts

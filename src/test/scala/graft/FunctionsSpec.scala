@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.GorillaFunctions
+import graft.gen.Synth
+import graft.pivot.SeriesPivot
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst gorilla_decode_* expressions (SURVEY.md §2.9 optional
+  * Expression upgrade): SQL-path decode must equal the typed decode.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL decode of segments equals typed decode and the input") {
+    GorillaFunctions.register(spark)
+    val turns = Synth.tiny(spark).cache()
+    val cfg = RollupConfig("", "")
+    val segs = SeriesPivot.segmentsSorted(turns, Tier.Day, cfg).toDF().cache()
+    segs.createOrReplaceTempView("seg_fn_test")
+    val sqlDecoded = spark.sql(
+      """WITH d AS (
+        |  SELECT conv_id,
+        |    gorilla_decode_longs(idxBlob) AS idx,
+        |    gorilla_decode_longs(tsBlob) AS tsu,
+        |    gorilla_decode_strings(roleBlob) AS role,
+        |    gorilla_decode_strings(toolBlob) AS tool,
+        |    gorilla_decode_texts(textBlob) AS text
+        |  FROM seg_fn_test)
+        |SELECT conv_id, CAST(e.idx AS INT) AS turn_idx, e.role AS role,
+        |       e.text AS text, e.tool AS tool, timestamp_micros(e.tsu) AS ts
+        |FROM d LATERAL VIEW explode(arrays_zip(idx, tsu, role, tool, text)) t AS e
+        |""".stripMargin)
+    assertSameRows(sqlDecoded, turns.toDF(), "sql decode == input")
+  }
+
+  test("decode_doubles roundtrips a ValueSegment blob via SQL") {
+    GorillaFunctions.register(spark)
+    val vals = Array(1.5, 2.25, 2.25, -3.75, 1e12, 0.0)
+    val blob = graft.codec.Gorilla.encodeValues(vals)
+    val got = Seq(Tuple1(blob)).toDF("b")
+      .select(explode(GorillaFunctions.decodeDoubles(col("b"))).as("v"))
+      .as[Double].collect()
+    assert(got.toSeq == vals.toSeq)
+  }
+
+  test("expressions handle null input blobs") {
+    GorillaFunctions.register(spark)
+    val got = Seq(Tuple1(null: Array[Byte])).toDF("b")
+      .select(GorillaFunctions.decodeLongs(col("b")).as("v")).collect()
+    assert(got(0).isNullAt(0))
+  }
+}
