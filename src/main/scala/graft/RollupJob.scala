@@ -54,7 +54,11 @@ object RollupJob {
         s"unknown metrics ${unknown.mkString(",")}; valid: ${RollupConfig.AllMetrics.mkString(",")}")
     }
 
-    val turnsRead = io.read(spark, cfg.inputPath).as[Turn]
+    // S2 input inspection: fail fast on schema drift before any shuffle
+    val inputDf = io.read(spark, cfg.inputPath)
+    graft.io.Validate.transcriptSchema(inputDf)
+    val turnsRead = inputDf
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts").as[Turn]
 
     // debug output limit (X3): first N conversations in conv_id order
     val turnsAll = cfg.outputLimit match {

@@ -139,6 +139,33 @@ object Queries {
         |""".stripMargin)
   }
 
+  /** Numeric series path: Gorilla-XOR value blobs + DoD timestamp blobs
+    * built by the typed ValueSegAgg aggregator over (user_id, day), decoded
+    * back through the native SQL expressions — must equal the raw rows.
+    */
+  def valueSegmentsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GorillaFunctions.register(s)
+    val vagg = new graft.codec.ValueSegAgg
+    val pts = events(s, dir)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"), col("value"))
+      .as[(Long, Long, Double)]
+    val segs = pts
+      .groupByKey(t => (t._1, Math.floorDiv(t._2 / 1000000L, 86400L) * 86400L))
+      .mapValues(t => graft.codec.ValuePoint(t._2, t._3))
+      .agg(vagg.toColumn.name("seg"))
+      .map { case ((uid, _), seg) => (uid, seg.tsBlob, seg.valBlob) }
+      .toDF("user_id", "tsBlob", "valBlob")
+    segs
+      .select(col("user_id"),
+        graft.functions.GorillaFunctions.decodeLongs(col("tsBlob")).as("tsu"),
+        graft.functions.GorillaFunctions.decodeDoubles(col("valBlob")).as("v"))
+      .select(col("user_id"), explode(arrays_zip(col("tsu"), col("v"))).as("e"))
+      .select(col("user_id"), expr("timestamp_micros(e.tsu)").as("ts"),
+        col("e.v").as("value"))
+  }
+
   /** Compression accounting over the pivoted segments (bytes/point) — not
     * SQL-expressible; rows-only driver check.
     */
@@ -320,6 +347,7 @@ object Queries {
     "gapfill_1h" -> gapfill1h _,
     "pivot_roundtrip" -> pivotRoundtrip _,
     "segment_decode_sql" -> segmentDecodeSql _,
+    "value_segments_roundtrip" -> valueSegmentsRoundtrip _,
     "segment_stats" -> segmentStats _,
     "rollup_grouping_sets" -> rollupGroupingSets _,
     "window_running" -> windowRunning _,
@@ -385,6 +413,8 @@ object Queries {
         |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
         |event_type AS role, props AS text, ts
         |FROM events""".stripMargin,
+    "value_segments_roundtrip" ->
+      "SELECT user_id, ts, value FROM events",
     "segment_decode_sql" ->
       """SELECT CAST(user_id AS VARCHAR) AS conv_id,
         |CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
