@@ -13,6 +13,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up so the first measured query isn't charged for it
+    spark.range(1000000).selectExpr("sum(xxhash64(id))").collect()
+    spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -96,14 +96,16 @@ object RollupJob {
     // salted two-phase variant (SeriesPivot.segmentsSalted) is the explicit
     // skew escape hatch and produces identical segments (tested).
     val segTier = sorted.last
-    val segs = SeriesPivot.segmentsSorted(turns, segTier, cfg)
-      .toDF().withColumn("pday", pdayCol)
+    // the segments are the job's ONLY full read of the raw table: the rollup
+    // cube below decodes them (≈2% of raw bytes) instead of rescanning raw
+    val segsTyped = SeriesPivot.segmentsSorted(turns, segTier, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segs = segsTyped.toDF().withColumn("pday", pdayCol)
     val segsToWrite =
-      (if (resume) segs.join(
+      if (resume) segs.join(
         broadcast(committed.filter(col("tier") === s"seg-${segTier.name}")
           .select("pday")), Seq("pday"), "left_anti")
-      else segs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else segs
     // one file per (tier, pday) partition: without this every shuffle task
     // writes into every pday dir → files = partitions × days, and each
     // subsequent dynamic-overwrite write pays a full table listing
@@ -113,14 +115,14 @@ object RollupJob {
     val segsWritten = Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
       segsToWrite.select(concat(lit("seg-"), col("tier")).as("tier"), col("pday")),
       fingerprint)
-    segsToWrite.unpersist()
 
-    // ---- rollup cascade: finest cube from raw, coarser from finer ----
+    // ---- rollup cascade: finest cube decoded from the cached segments,
+    // coarser tiers from the finer cube — raw data is never rescanned ----
     var finerCube: DataFrame = null
     val cubes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val reports = sorted.map { tier =>
       val cube =
-        if (finerCube == null) Rollups.cube(turns, tier)
+        if (finerCube == null) Rollups.cubeFromSegments(segsTyped, tier)
         else Rollups.cascadeCube(finerCube, tier)
       cube.persist()
       cubes += cube
@@ -170,6 +172,7 @@ object RollupJob {
     Retention(spark, io, segmentsPath, Seq(segTier), asOf)
 
     val inputRows = turns.count()
+    segsTyped.unpersist()
     cubes.foreach(_.unpersist())
     Checkpoint.recordMetrics(spark, io, cfg.outputRoot, cfg.runId, "run",
       Map("input_rows" -> inputRows.toDouble,

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): exact-Jaccard all-pairs is quadratic per posting
   * list and only used for small corpora / verification; MinHash-LSH is the
   * scale path — candidate count is governed by band collisions, not corpus
-  * size. Hot shingles (stop-shingles) can be capped via `maxDocFreq` at
-  * candidate-generation time without biasing the verified Jaccard.
+  * size. If a corpus develops stop-shingles (posting lists of millions),
+  * cap them at candidate-generation time only (drop from banding, keep in
+  * verification) — that prunes candidates without biasing the verified
+  * Jaccard; not needed at current corpus sizes so not wired to config.
   */
 object Dedup {
 

@@ -53,6 +53,37 @@ object Rollups {
         min("len").as("lenMin"),
         max("len").as("lenMax"))
 
+  /** Finest-grain cube decoded from pivoted segments instead of raw rows.
+    * The segments are ~2% of the raw table's bytes (Gorilla/DoD + deflate),
+    * so when the pivot has already scanned the raw table once, building the
+    * cube from its output makes the whole job a SINGLE raw scan — the
+    * dominant cost at 100 TB. Results are exactly equal to [[cube]] (the
+    * codecs are lossless; `len` uses code-point counts to match Spark's
+    * `length()`), asserted in ResumeSpec.
+    */
+  def cubeFromSegments(segs: Dataset[graft.Segment], tier: Tier): DataFrame = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    val bucketSec = tier.bucketSec
+    segs.flatMap { s =>
+      val ts = graft.codec.Gorilla.decodeTimestamps(s.tsBlob)
+      val role = graft.codec.Gorilla.decodeStrings(s.roleBlob)
+      val tool = graft.codec.Gorilla.decodeStrings(s.toolBlob)
+      val text = graft.codec.Gorilla.decodeTexts(s.textBlob)
+      Array.tabulate(s.n) { i =>
+        val bucket = Math.floorDiv(Math.floorDiv(ts(i), 1000000L), bucketSec) * bucketSec
+        (s.conv_id, bucket, role(i), tool(i),
+          text(i).codePointCount(0, text(i).length))
+      }
+    }.toDF("conv_id", "bucket", "role", "tool", "len")
+      .groupBy("conv_id", "bucket", "role", "tool")
+      .agg(
+        count(lit(1)).as("c"),
+        sum("len").cast("long").as("lenSum"),
+        min("len").as("lenMin"),
+        max("len").as("lenMax"))
+  }
+
   /** Rollup cascade: re-bucket a finer cube into a coarser tier.
     * Input and output share the cube schema; only `bucket` coarsens.
     */

@@ -39,6 +39,20 @@ class ResumeSpec extends SparkSpec {
       .drop("pday").as[Segment]
     assertSameRows(SeriesPivot.decode(segs).toDF(),
       spark.read.parquet(inputPath), "job segments roundtrip")
+
+    // the segment-derived cube path must equal the direct raw-scan cube
+    import graft.rollup.Rollups
+    import org.apache.spark.sql.functions.{array_sort, map_entries, date_format, timestamp_seconds}
+    def cmp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("byRole", array_sort(map_entries(col("byRole"))))
+      .withColumn("byTool", array_sort(map_entries(col("byTool"))))
+      .select("conv_id", "bucket", "turns", "byRole", "byTool",
+        "textLenSum", "textLenMin", "textLenMax", "filled")
+    val direct = Rollups.points(
+      Rollups.cube(spark.read.parquet(inputPath).as[Turn], Tier.Minute), "1m")
+    val jobPts = ParquetTableIO.read(spark, s"$out/points")
+      .filter(col("tier") === "1m")
+    assertSameRows(cmp(jobPts), cmp(direct), "segment-derived cube == raw cube")
   }
 
   test("wmode 'w' fails when output exists") {
