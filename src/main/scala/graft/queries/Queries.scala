@@ -267,6 +267,29 @@ object Queries {
       sum(floor(col("value") * 1e6)).over(w).cast("long").as("running_vsum_micro"))
   }
 
+  /** Sessionization: split each user's event stream into sessions at
+    * >30-minute inactivity gaps (lag + running conditional sum), then
+    * per-session stats — the session-window analog without streaming state.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withSess = events(s, dir)
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1)
+          .over(byUser))
+      .withColumn("sess",
+        sum(when(col("gap") > 1800, 1).otherwise(0))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+    withSess
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .cast("long").as("duration_sec"))
+  }
+
   // --------------------------------------------- training-data pipeline ---
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -351,6 +374,7 @@ object Queries {
     "segment_stats" -> segmentStats _,
     "rollup_grouping_sets" -> rollupGroupingSets _,
     "window_running" -> windowRunning _,
+    "sessionize" -> sessionize _,
     "q1_agg" -> q1Agg _,
     "join_broadcast_agg" -> joinBroadcastAgg _,
     "anti_join_customers" -> antiJoinCustomers _,
@@ -433,6 +457,20 @@ object Queries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_vsum_micro
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(ts)//1000000 - lag(epoch_us(ts)//1000000) OVER w AS gap
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM g)
+        |SELECT user_id, sess, count(*) AS n_events, min(ts) AS session_start,
+        |  epoch_us(max(ts))//1000000 - epoch_us(min(ts))//1000000 AS duration_sec
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |CAST(sum(floor(l_extendedprice*100)) AS BIGINT) AS sum_price_cents, count(*) AS n
