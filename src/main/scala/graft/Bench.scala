@@ -14,7 +14,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up so the first measured query isn't charged for it
-    spark.range(1000000).selectExpr("sum(xxhash64(id))").collect()
+    // (count, not sum — summing 64-bit hashes overflows under ANSI mode)
+    spark.range(1000000).selectExpr("count(xxhash64(id))").collect()
     spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
