@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,15 +23,21 @@ object Bench {
     // (count, not sum — summing 64-bit hashes overflows under ANSI mode)
     spark.range(1000000).selectExpr("count(xxhash64(id))").collect()
     spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a failing query records its error instead of posing as a fast run
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.linesIterator.next().take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+      .mkString("{", ",", "}")
+    val degraded = results.exists(_._3.nonEmpty)
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"degraded":$degraded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): exact-Jaccard all-pairs is quadratic per posting
   * list and only used for small corpora / verification; MinHash-LSH is the
   * scale path — candidate count is governed by band collisions, not corpus
-  * size. If a corpus develops stop-shingles (posting lists of millions),
-  * cap them at candidate-generation time only (drop from banding, keep in
-  * verification) — that prunes candidates without biasing the verified
-  * Jaccard; not needed at current corpus sizes so not wired to config.
+  * size. Stop-shingles (posting lists of millions — boilerplate headers in
+  * a web crawl) are capped at candidate-generation time only via
+  * `maxShingleDf`: shingles above the document-frequency cap are dropped
+  * from signature/banding but KEPT in verification, so the verified Jaccard
+  * is unbiased while one hot shingle can no longer explode a posting join.
   */
 object Dedup {
 
@@ -61,6 +62,7 @@ object Dedup {
     * one groupBy with k MIN aggregates (map-side partials, no UDAF).
     */
   def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     shingles.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -84,11 +86,28 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs, exact-verified: LSH proposes,
     * Jaccard (computed only for candidates) disposes.
+    *
+    * `maxShingleDf` caps stop-shingles at BANDING time only: shingles whose
+    * document frequency exceeds the cap carry ~no similarity information
+    * (every doc has them) but quadratically explode the candidate posting
+    * join, so they are excluded from MinHash signatures; verification still
+    * runs over the FULL shingle sets, keeping the reported Jaccard exact.
+    * A doc whose every shingle is hot drops out of candidate generation —
+    * acceptable: such a doc is pure boilerplate. Default = no cap.
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+      n: Int, k: Int, bands: Int, minJaccard: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = wordShingles(docs, idCol, textCol, n).cache()
-    val cands = lshCandidatePairs(minhashSignatures(sh, k), k, bands)
+    // hot-shingle set is tiny by definition (few shingles exceed the cap) —
+    // broadcast anti-join, no extra shuffle of the posting table
+    val shBand =
+      if (maxShingleDf == Int.MaxValue) sh
+      else sh.join(
+        broadcast(sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("shingle")),
+        Seq("shingle"), "left_anti")
+    val cands = lshCandidatePairs(minhashSignatures(shBand, k), k, bands)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // restrict posting join to candidate docs, then exact-verify
     val candDocs = cands.select(col("id_a").as("id"))
@@ -108,13 +127,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over token multiset: per-bit vote sums in one groupBy
-    * (64 SUM aggregates), sign → bit.
+  /** Default SimHash token hash: xxhash64 (codegen'd, 64 full bits). */
+  val xxTokenHash: Column => Column = c => xxhash64(c)
+
+  /** SQL-portable token hash: top 60 bits of md5, built from functions with
+    * identical semantics in Spark and DuckDB — lets an external SQL oracle
+    * recompute the exact signatures. Bits 60–63 are always 0, which only
+    * means those four vote counters never fire (Hamming unaffected).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  val md5TokenHash: Column => Column =
+    c => conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 64-bit SimHash over token multiset: per-bit vote sums in one groupBy
+    * (64 SUM aggregates), sign → bit. `tokenHash` is pluggable so results
+    * can be verified by engines without xxhash64 (see [[md5TokenHash]]).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxTokenHash): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", tokenHash(col("t")))
     val votes = (0 until 64).map(i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i"))
     val bits = (0 until 64).map(i =>
@@ -128,9 +160,9 @@ object Dedup {
     * at least one band), exact `bit_count` verification on candidates.
     */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, tokenHash: Column => Column = xxTokenHash): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for Hamming <= 3")
-    val sigs = simhash(docs, idCol, textCol)
+    val sigs = simhash(docs, idCol, textCol, tokenHash)
     val bandArr = array((0 until 4).map(b => struct(lit(b).as("band"),
       col("simhash").bitwiseAND(lit(0xffffL << (16 * b))).as("bv"))): _*)
     val banded = sigs.select(col("id"), col("simhash"), explode(bandArr).as("e"))

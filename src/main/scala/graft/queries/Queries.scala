@@ -205,16 +205,17 @@ object Queries {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
-  /** Deterministic top-k (rank with total tie-break, no bare LIMIT). */
-  def topParts(s: SparkSession, dir: String): DataFrame = {
-    val agg = lineitem(s, dir)
+  /** Deterministic top-k: orderBy().limit() with a total tie-break —
+    * Catalyst plans TakeOrderedAndProject (per-partition heap top-k +
+    * driver merge), never a single-partition global sort; survives
+    * million-key partkey cardinality.
+    */
+  def topParts(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
-    agg
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("sum_qty").desc, col("l_partkey"))).cast("long"))
-      .filter(col("rk") <= 10)
-  }
+      .orderBy(col("sum_qty").desc, col("l_partkey"))
+      .limit(10)
 
   // ------------------------------------------------------ text analysis ---
 
@@ -322,9 +323,14 @@ object Queries {
     graft.dedup.Dedup.minhashDupPairs(dupCorpus(s, dir), "doc_id", "text",
       n = 3, k = 32, bands = 16, minJaccard = 0.8)
 
-  /** SimHash near-dup pairs (Hamming <= 3) — not SQL-expressible. */
+  /** SimHash near-dup pairs (Hamming <= 3), using the SQL-portable
+    * md5-prefix token hash so the DuckDB oracle recomputes the exact
+    * signatures (engine default stays xxhash64 — [[graft.dedup.Dedup]]).
+    */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.simhashDupPairs(dupCorpus(s, dir), "doc_id", "text", 3)
+    graft.dedup.Dedup.simhashDupPairs(dupCorpus(s, dir), "doc_id", "text", 3,
+      graft.dedup.Dedup.md5TokenHash)
+      .withColumn("hamming", col("hamming").cast("long"))
 
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -355,12 +361,20 @@ object Queries {
       graft.sim.Ann.l2Norm(col("embedding")).as("l2"))
 
   /** Multimodal stub pipeline: binary payloads → partition-batched feature
-    * extraction (rows-only; features are arrays).
+    * extraction, exploded to sortable scalar rows (media_id, kind, n_bytes,
+    * bin_idx, bin_count). The normalized float features are folded back to
+    * exact integer byte-histogram counts (count = round(feat·n); float32
+    * error ≪ 0.5 at any payload size here), which the DuckDB oracle
+    * recomputes from the UTF-8 payload bytes.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.extractFeatures(
       graft.multimodal.Multimodal.mediaFromDocs(documents(s, dir), "doc_id", "text"))
       .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("bin_idx", "feat")))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("bin_idx"),
+        round(col("feat") * col("n_bytes")).cast("long").as("bin_count"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rollup_1m" -> rollup1m _,
@@ -485,9 +499,9 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
     "top_parts" ->
-      """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |row_number() OVER (ORDER BY CAST(sum(l_quantity) AS BIGINT) DESC, l_partkey) AS rk
-        |FROM lineitem GROUP BY l_partkey QUALIFY rk <= 10""".stripMargin,
+      """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY sum_qty DESC, l_partkey LIMIT 10""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_tokens,
@@ -503,6 +517,61 @@ object Queries {
         |FROM corpus GROUP BY text""".stripMargin,
     "dedup_jaccard_pairs" -> jaccardOracle(0.6),
     "dedup_minhash_pairs" -> jaccardOracle(0.8),
+    // Recomputes the exact SimHash signatures: same tokenizer, same
+    // md5-prefix 60-bit token hash (Dedup.md5TokenHash), same vote/sign
+    // rule; pairs via all-pairs xor/bit_count (fine at oracle scale).
+    "dedup_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' zzzuniquetoken' FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{Nd}'']+'), x -> len(x) > 0)) AS t
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id, list_sum(list_transform(generate_series(1, 15),
+        |    i -> ((strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)::BIGINT << (4*(15-i))))) AS hv
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bits
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sg
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 3""".stripMargin,
+    "lang_id_dist" -> langIdOracle,
+    // Recomputes FakeCodec's 16-bin byte histogram from the UTF-8 payload:
+    // hex() the blob once, parse byte i from hex chars 2i-1..2i, bin = b/16;
+    // the zero-bin spine mirrors the dense 16-float feature vector.
+    "multimodal_features" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT media_id,
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS byte
+        |  FROM media, unnest(generate_series(1, n_bytes)) AS u(i)),
+        |hist AS (
+        |  SELECT media_id, byte // 16 AS bin_idx, count(*) AS c
+        |  FROM bytes GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT media_id, kind, n_bytes, unnest(generate_series(0, 15)) AS bin_idx
+        |  FROM media)
+        |SELECT s.media_id, s.kind, CAST(s.n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(s.bin_idx AS INT) AS bin_idx,
+        |  CAST(coalesce(h.c, 0) AS BIGINT) AS bin_count
+        |FROM spine s LEFT JOIN hist h
+        |  ON s.media_id = h.media_id AND s.bin_idx = h.bin_idx""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS chars,
@@ -522,12 +591,39 @@ object Queries {
         |    list_dot_product(embedding::DOUBLE[], qv) /
         |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))) AS sim
         |  FROM embeddings, q WHERE vec_id <> 0)
-        |SELECT vec_id, sim, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
-        |FROM scored QUALIFY rk <= 10""".stripMargin,
+        |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "embed_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
         |FROM embeddings""".stripMargin)
+
+  /** Lang-ID oracle generated from [[graft.text.TextAnalysis.stopwords]]
+    * (single source of truth — the SQL lists can't drift from the engine's).
+    * Mirrors `TextAnalysis.langId` exactly: same tokenizer, stopword-hit
+    * scores (zh via raw-text containment), argmax with lang-ascending
+    * tie-break (struct sort), 'und' when no profile hits.
+    */
+  private def langIdOracle: String = {
+    val entries = graft.text.TextAnalysis.stopwords.toSeq.sortBy(_._1).map {
+      case ("zh", words) =>
+        val score = words.map(w => s"contains(text, '$w')::INT").mkString(" + ")
+        s"{'score': $score, 'lang': 'zh'}"
+      case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"{'score': CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS INT), 'lang': '$lang'}"
+    }
+    s"""WITH t AS (
+       |  SELECT text,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT (list_sort([${entries.mkString(",\n    ")}]))[-1] AS best
+       |  FROM t)
+       |SELECT CASE WHEN struct_extract(best, 'score') > 0
+       |  THEN struct_extract(best, 'lang') ELSE 'und' END AS lang_pred,
+       |  count(*) AS docs
+       |FROM scored GROUP BY 1""".stripMargin
+  }
 
   /** Word-3-gram Jaccard pairs over the injected-duplicate corpus — shared
     * oracle for the exact and the LSH-verified variants (the LSH result

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
@@ -33,8 +32,10 @@ object Ann {
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
   /** Exact top-k neighbors of `queryId`'s vector (excluded from results):
-    * broadcast the 1-row query side, score all, deterministic rank
-    * (sim desc, id asc).
+    * broadcast the 1-row query side, score all, then `orderBy().limit(k)` —
+    * Catalyst plans TakeOrderedAndProject (per-partition heap top-k, driver
+    * merge of k·partitions rows), so no global single-partition sort ever
+    * materializes. Deterministic via the (sim desc, id asc) tie-break.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
@@ -43,9 +44,8 @@ object Ann {
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("sim"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
-      .filter(col("rk") <= k)
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Deterministic pseudo-random hyperplane weights (no RNG state: weight
@@ -86,9 +86,8 @@ object Ann {
       .filter(bit_count(col("_bucket").bitwiseXOR(col("_qbucket"))) <= 1)
     probes
       .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("sim"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("sim").desc, col(idCol))).cast("long"))
-      .filter(col("rk") <= k)
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Embedding near-duplicate pairs: SRP-bucket join (exact bucket match)

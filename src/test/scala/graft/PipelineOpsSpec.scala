@@ -81,13 +81,14 @@ class PipelineOpsSpec extends SparkSpec {
         .select(lit(99999L).as("vec_id"), $"embedding"))
     val brute = Ann.bruteForceTopK(planted, "vec_id", "embedding", 7, 10).cache()
     assert(brute.count() == 10)
-    // the planted identical vector has cosine 1 → must be rank 1
-    assert(brute.filter($"rk" === 1).select("vec_id").as[Long].head() == 99999L)
+    // the planted identical vector has cosine 1 → must be the first row
+    // (orderBy().limit() preserves order on collect)
+    assert(brute.select("vec_id").as[Long].head() == 99999L)
 
     val lsh = Ann.lshTopK(planted, "vec_id", "embedding", 7, 10,
       nPlanes = 8, dim = 64).cache()
     // identical vector hashes to the identical bucket → always probed
-    assert(lsh.filter($"rk" === 1).select("vec_id").as[Long].head() == 99999L)
+    assert(lsh.select("vec_id").as[Long].head() == 99999L)
     // every LSH sim equals the exact sim computed by brute scoring
     val bruteAll = planted.filter($"vec_id" =!= 7).crossJoin(
       broadcast(planted.filter($"vec_id" === 7).select($"embedding".as("q"))))
@@ -95,6 +96,50 @@ class PipelineOpsSpec extends SparkSpec {
     val bad = lsh.join(bruteAll, "vec_id")
       .filter(abs($"sim" - $"sim_exact") > 1e-12).count()
     assert(bad == 0, "LSH sims must be exact cosine values")
+  }
+
+  test("LSH top-k recall on genuinely-similar neighbors (planted near-dups)") {
+    // LSH's contract is recall of SIMILAR items, not of the global top-k of
+    // near-uniform noise (where sims are ~0 and bucketing can't help). Plant
+    // 12 deterministic near-copies of the query vector (per-coordinate
+    // ±0.6% scaling → cosine ≈ 0.99999, same-or-adjacent SRP bucket) and
+    // require the multi-probe scan to recover most of them.
+    val base = emb.select("vec_id", "embedding")
+    val planted = (1 to 12).map { i =>
+      base.filter($"vec_id" === 0).select(
+        lit(100000L + i).as("vec_id"),
+        transform($"embedding",
+          (x, j) => x * (lit(1.0f) + lit(0.001f) * pmod(lit(i) + j, lit(7))))
+          .as("embedding"))
+    }.reduce(_ unionByName _).unionByName(base)
+    val brute = Ann.bruteForceTopK(planted, "vec_id", "embedding", 0, 12)
+      .select("vec_id").as[Long].collect().toSet
+    assert(brute.forall(_ > 100000L), "planted near-dups must be the exact top-12")
+    val lsh = Ann.lshTopK(planted, "vec_id", "embedding", 0, 12,
+      nPlanes = 8, dim = 64).select("vec_id").as[Long].collect().toSet
+    val recall = lsh.count(_ > 100000L).toDouble / 12
+    assert(recall >= 0.75, s"planted-neighbor recall too low: $recall")
+  }
+
+  test("stop-shingle cap bounds candidates without changing verified pairs") {
+    // inject a hot shingle: the same 3-word boilerplate prefix on EVERY doc
+    val hot = corpus.select($"doc_id",
+      concat(lit("common header boilerplate "), $"text").as("text"))
+    val uncapped = Dedup.minhashDupPairs(hot, "doc_id", "text",
+      n = 3, k = 32, bands = 16, minJaccard = 0.85)
+      .select("id_a", "id_b", "jaccard")
+    val capped = Dedup.minhashDupPairs(hot, "doc_id", "text",
+      n = 3, k = 32, bands = 16, minJaccard = 0.85,
+      maxShingleDf = corpus.count().toInt / 2)
+      .select("id_a", "id_b", "jaccard")
+    assertSameRows(capped, uncapped, "cap must not change verified pairs")
+    // and the hot shingle really is excluded from banding: posting list of
+    // the boilerplate shingle exceeds the cap
+    val df = Dedup.wordShingles(hot, "doc_id", "text", 3)
+      .groupBy("shingle").count()
+      .filter($"shingle" === "common header boilerplate")
+      .select("count").as[Long].head()
+    assert(df > corpus.count() / 2, "injected shingle must be hot")
   }
 
   test("embedding cosine near-dup pairs find planted duplicates") {

@@ -77,6 +77,18 @@ class PlanAuditSpec extends SparkSpec {
       s"partition pruning failed: ${dirs.take(3)}")
   }
 
+  test("top-k queries plan TakeOrderedAndProject, never a global window sort") {
+    Seq(
+      Queries.topParts(spark, sfDir),
+      Queries.annBruteForce(spark, sfDir),
+      Queries.annLsh(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"expected per-partition heap top-k:\n$p")
+      assert(!p.contains("Window"), s"global window sort in top-k plan:\n$p")
+    }
+  }
+
   test("pivot plan is one exchange + in-partition sort (no extra shuffle)") {
     val cfg = RollupConfig("", "")
     val p = plan(pivot.SeriesPivot.segmentsSorted(
