@@ -164,14 +164,21 @@ object RollupJob {
     io.write(dims.coalesce(1), s"${cfg.outputRoot}/dims", Seq.empty, "overwrite")
 
     // ---- retention ----
+    // asOf (max event time) and inputRows both come from the CACHED
+    // segments, not the raw table — keeps the job strictly single-raw-scan
+    // under every write mode (raw `ts` filter included)
     val asOf = asOfSec.getOrElse {
-      turns.select(max(unix_timestamp(col("ts")))).as[Long].head()
+      segsTyped
+        .map(s => graft.codec.Gorilla.decodeTimestamps(s.tsBlob).max / 1000000L)
+        .toDF("t").agg(max("t")).as[Long].head()
     }
     val retained = Retention(spark, io, pointsPath, cfg.tiers, asOf)
-    // segments expire with the finest tier's policy
+    // segments follow the COARSEST tier's retention (the safe policy:
+    // segments are the decode source for every re-aggregation)
     Retention(spark, io, segmentsPath, Seq(segTier), asOf)
 
-    val inputRows = turns.count()
+    val inputRows = segsTyped.toDF()
+      .agg(coalesce(sum("n"), lit(0)).cast("long")).as[Long].head()
     segsTyped.unpersist()
     cubes.foreach(_.unpersist())
     Checkpoint.recordMetrics(spark, io, cfg.outputRoot, cfg.runId, "run",

@@ -18,20 +18,28 @@ import org.apache.spark.sql.SparkSession
   */
 object Retention {
 
-  /** Cutoff pday (UTC date string) for a tier, or None if retained forever. */
-  def cutoffDay(tier: Tier, asOfSec: Long): Option[String] =
+  /** Cutoff pday (date string in `zone`) for a tier, or None if retained
+    * forever. `zone` must be the zone that rendered the table's `pday`
+    * partition values (the Spark session time zone — [[apply]] passes it),
+    * otherwise retention can shift by up to a day.
+    */
+  def cutoffDay(tier: Tier, asOfSec: Long,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Option[String] =
     if (tier.retainBuckets < 0) None
     else {
       val cutoffSec = asOfSec - tier.retainBuckets * tier.bucketSec
-      Some(java.time.LocalDate.ofEpochDay(Math.floorDiv(cutoffSec, 86400L)).toString)
+      Some(java.time.Instant.ofEpochSecond(cutoffSec).atZone(zone)
+        .toLocalDate.toString)
     }
 
   /** Drop expired partitions of `path` for every tier. Returns the applied
-    * (tier → cutoff pday) map.
+    * (tier → cutoff pday) map. The cutoff is rendered in the SESSION time
+    * zone — the same zone `date_format` used to write the pday values.
     */
   def apply(spark: SparkSession, io: TableIO, path: String, tiers: Seq[Tier],
       asOfSec: Long): Map[String, String] = {
-    val cuts = tiers.flatMap(t => cutoffDay(t, asOfSec).map(t.name -> _)).toMap
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val cuts = tiers.flatMap(t => cutoffDay(t, asOfSec, zone).map(t.name -> _)).toMap
     cuts.foreach { case (tierName, cut) =>
       io.dropPartitions(spark, path, s"tier = '$tierName' AND pday < '$cut'")
     }

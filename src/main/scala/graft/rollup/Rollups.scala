@@ -112,7 +112,11 @@ object Rollups {
         array_sort(collect_list(struct(col("role"), col("tool"), col("c"))))
           .as("entries"))
     folded
-      .withColumn("byRole", foldToMap(col("entries"), "role"))
+      // null keys would throw 'Cannot use null as map key' at runtime —
+      // null-role rows (schema-invalid but possible upstream) still count
+      // in `turns`; they are only absent from the per-key maps, like tool
+      .withColumn("byRole", foldToMap(filter(col("entries"),
+        e => e.getField("role").isNotNull), "role"))
       .withColumn("byTool", foldToMap(filter(col("entries"),
         e => e.getField("tool").isNotNull), "tool"))
       .select(

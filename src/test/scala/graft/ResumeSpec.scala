@@ -31,7 +31,9 @@ class ResumeSpec extends SparkSpec {
   test("full run: points + segments written, segments decode to input") {
     val out = s"$tmp/full"
     val report = RollupJob.run(spark, cfg(out, "o", "run-full"))
-    assert(report.inputRows > 0)
+    // inputRows is derived from the cached segments (sum of n), never a
+    // second raw scan — it must still equal the true input row count
+    assert(report.inputRows == spark.read.parquet(inputPath).count())
     assert(report.tiers.map(_.tier).toSet == Set("1m", "1h", "1d"))
     assert(report.tiers.forall(_.written > 0))
     // job-level equivalence invariant: stored segments decode to the input
