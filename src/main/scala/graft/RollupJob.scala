@@ -33,6 +33,13 @@ object RollupJob {
     (r, sec)
   }
 
+  /** Extra per-stage materialization timings (costs extra actions on cached
+    * data — scaling-diagnosis only, off unless GRAFT_PHASE_DEBUG is set).
+    */
+  private val phaseDebug = sys.env.contains("GRAFT_PHASE_DEBUG")
+  private def debugTimed(phase: String)(f: => Long): Unit =
+    if (phaseDebug) { val (n, _) = timed(phase)(f); println(s"[rollup]   ($phase rows: $n)") }
+
   /** Run the full pipeline. `asOfSec` drives retention (None = max input
     * bucket, deterministic — never wall-clock).
     */
@@ -106,12 +113,20 @@ object RollupJob {
         broadcast(committed.filter(col("tier") === s"seg-${segTier.name}")
           .select("pday")), Seq("pday"), "left_anti")
       else segs
-    // one file per (tier, pday) partition: without this every shuffle task
-    // writes into every pday dir → files = partitions × days, and each
-    // subsequent dynamic-overwrite write pays a full table listing
+    // ≤ writeSaltBuckets files per (tier, pday) partition: without any
+    // repartition every shuffle task writes into every pday dir → files =
+    // partitions × days, and each dynamic-overwrite write pays a full table
+    // listing; with UNSALTED pday partitioning a hot day (one pday holding
+    // most of the data) serializes into a single parquet-writing task — the
+    // write-side analog of north_rule's hot-conversation skew. The salt
+    // bounds both: listing stays O(days × salt), the straggler shrinks by
+    // the salt factor. numPartitions is PINNED (REPARTITION_BY_NUM) so AQE
+    // can't coalesce write parallelism away on small data.
+    val writeParts = spark.sessionState.conf.numShufflePartitions
+    val writeSalt = pmod(xxhash64(col("conv_id")), lit(cfg.writeSaltBuckets))
     timed("segments pivot+write")(
-      io.write(segsToWrite.repartition(col("pday")), segmentsPath,
-        Seq("tier", "pday"), "overwrite"))
+      io.write(segsToWrite.repartition(writeParts, col("pday"), writeSalt),
+        segmentsPath, Seq("tier", "pday"), "overwrite"))
     val segsWritten = Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
       segsToWrite.select(concat(lit("seg-"), col("tier")).as("tier"), col("pday")),
       fingerprint)
@@ -125,9 +140,13 @@ object RollupJob {
         if (finerCube == null) Rollups.cubeFromSegments(segsTyped, tier)
         else Rollups.cascadeCube(finerCube, tier)
       cube.persist()
+      debugTimed(s"cube ${tier.name} materialize")(cube.count())
       cubes += cube
       finerCube = cube
-      val points0 = Rollups.points(cube, tier.name).withColumn("pday", pdayCol)
+      // streamed fold: cube is (conv_id, bucket)-partitioned, so this is
+      // sort-within-partitions + one typed pass, zero exchanges
+      val points0 = Rollups.pointsStreamed(cube, tier.name)
+        .withColumn("pday", pdayCol)
       val points = cfg.metricsInclude match {
         case Some(ms) =>
           val drop = Seq(
@@ -138,18 +157,34 @@ object RollupJob {
           points0.drop(drop: _*)
         case None => points0
       }
-      val (toWrite, skipped) =
-        if (resume) {
-          val done = committed.filter(col("tier") === tier.name).select("pday")
-          (points.join(broadcast(done), Seq("pday"), "left_anti"), done.count())
-        } else (points, 0L)
-      toWrite.persist()
+      val done =
+        if (resume) Some(committed.filter(col("tier") === tier.name).select("pday"))
+        else None
+      val toWrite = done match {
+        case Some(d) => points.join(broadcast(d), Seq("pday"), "left_anti")
+        case None => points
+      }
+      val skipped = done.map(_.count()).getOrElse(0L)
+      // single fused pass: fold → pinned repartition → parquet. The points
+      // are NOT cached — lineage counts come from the cached cube below, so
+      // the 1m tier's millions of map-typed rows are materialized exactly
+      // once, inside the write job
       timed(s"points ${tier.name} write")(
-        io.write(toWrite.repartition(col("pday")), pointsPath,
-          Seq("tier", "pday"), "overwrite"))
-      val written = Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
-        toWrite.select("tier", "pday"), fingerprint)
-      toWrite.unpersist()
+        io.write(toWrite.repartition(writeParts, col("pday"), writeSalt),
+          pointsPath, Seq("tier", "pday"), "overwrite"))
+      // lineage: points-per-pday == distinct (conv_id, bucket) per pday in
+      // this tier's cube (points() groups by exactly that key)
+      val planned = cube.select("conv_id", "bucket").distinct()
+        .withColumn("pday", pdayCol)
+        .groupBy("pday").agg(count(lit(1)).as("rows"))
+        .withColumn("tier", lit(tier.name))
+        .select("tier", "pday", "rows")
+      val lineageCounts = done match {
+        case Some(d) => planned.join(broadcast(d), Seq("pday"), "left_anti")
+        case None => planned
+      }
+      val written = Checkpoint.commitCounts(spark, io, cfg.outputRoot,
+        cfg.runId, lineageCounts, fingerprint)
       TierReport(tier.name, written, skipped)
     }
 
@@ -165,20 +200,19 @@ object RollupJob {
 
     // ---- retention ----
     // asOf (max event time) and inputRows both come from the CACHED
-    // segments, not the raw table — keeps the job strictly single-raw-scan
-    // under every write mode (raw `ts` filter included)
-    val asOf = asOfSec.getOrElse {
-      segsTyped
-        .map(s => graft.codec.Gorilla.decodeTimestamps(s.tsBlob).max / 1000000L)
-        .toDF("t").agg(max("t")).as[Long].head()
-    }
+    // segments in ONE fused pass, never the raw table — keeps the job
+    // strictly single-raw-scan under every write mode (ts filter included)
+    val (inputRows, maxTsSec) = segsTyped
+      .map(s => (s.n.toLong,
+        graft.codec.Gorilla.decodeTimestamps(s.tsBlob).max / 1000000L))
+      .toDF("n", "t")
+      .agg(coalesce(sum("n"), lit(0)).cast("long"), max("t"))
+      .as[(Long, Option[Long])].head()
+    val asOf = asOfSec.orElse(maxTsSec).getOrElse(0L)
     val retained = Retention(spark, io, pointsPath, cfg.tiers, asOf)
     // segments follow the COARSEST tier's retention (the safe policy:
     // segments are the decode source for every re-aggregation)
     Retention(spark, io, segmentsPath, Seq(segTier), asOf)
-
-    val inputRows = segsTyped.toDF()
-      .agg(coalesce(sum("n"), lit(0)).cast("long")).as[Long].head()
     segsTyped.unpersist()
     cubes.foreach(_.unpersist())
     Checkpoint.recordMetrics(spark, io, cfg.outputRoot, cfg.runId, "run",

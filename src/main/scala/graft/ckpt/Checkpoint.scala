@@ -57,9 +57,18 @@ object Checkpoint {
     * the total committed row count (so callers need no extra action).
     */
   def commit(spark: SparkSession, io: TableIO, root: String, runId: String,
-      written: DataFrame, fingerprint: String): Long = {
+      written: DataFrame, fingerprint: String): Long =
+    commitCounts(spark, io, root, runId,
+      written.groupBy("tier", "pday").agg(count(lit(1)).as("rows")), fingerprint)
+
+  /** Like [[commit]], but the caller supplies the per-(tier, pday) row
+    * counts directly — lets the job derive lineage from an already-cached
+    * upstream relation instead of re-scanning the written data.
+    */
+  def commitCounts(spark: SparkSession, io: TableIO, root: String, runId: String,
+      counts: DataFrame, fingerprint: String): Long = {
     import spark.implicits._
-    val rows = written.groupBy("tier", "pday").agg(count(lit(1)).as("rows"))
+    val rows = counts
       .withColumn("run_id", lit(runId))
       .withColumn("committed_at", current_timestamp())
       .withColumn("input_fingerprint", lit(fingerprint))

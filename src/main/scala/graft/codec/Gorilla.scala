@@ -269,13 +269,23 @@ object Gorilla {
     override def initialValue() = new Inflater()
   }
 
-  def encodeTexts(vs: Array[String], level: Int = 6): Array[Byte] = {
+  def encodeTexts(vs: Array[String], level: Int = 6): Array[Byte] =
+    encodeTextBytes(vs.map(s =>
+      if (s == null) null else s.getBytes(StandardCharsets.UTF_8)), level)
+
+  /** Byte-level variant of [[encodeTexts]] — identical blob layout, but the
+    * caller supplies UTF-8 bytes directly (null → empty). This is the hot
+    * path of the sort-based pivot: text never materializes as a java.lang
+    * String between the columnar scan and the deflate stream, killing the
+    * UTF8String→String→UTF-8 double transcode per turn.
+    */
+  def encodeTextBytes(vs: Array[Array[Byte]], level: Int = 6): Array[Byte] = {
     val head = ArrayBuffer[Byte]()
     writeVarInt(head, vs.length)
     val body = new java.io.ByteArrayOutputStream(1024)
     var i = 0
     while (i < vs.length) {
-      val b = (if (vs(i) == null) "" else vs(i)).getBytes(StandardCharsets.UTF_8)
+      val b = if (vs(i) == null) Array.emptyByteArray else vs(i)
       writeVarInt(head, b.length)
       body.write(b)
       i += 1
@@ -303,7 +313,10 @@ object Gorilla {
     res
   }
 
-  def decodeTexts(blob: Array[Byte]): Array[String] = {
+  /** Inflate a text blob and return (raw bytes, per-text lengths, cursor
+    * positioned at the first text's bytes).
+    */
+  private def inflateTexts(blob: Array[Byte]): (Array[Byte], Array[Int], ByteCursor) = {
     val rawLen = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
       ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
     val inflater = inflaters.get()
@@ -318,11 +331,41 @@ object Gorilla {
     val lens = new Array[Int](n)
     var i = 0
     while (i < n) { lens(i) = readVarInt(c); i += 1 }
-    val out = new Array[String](n)
-    i = 0
-    while (i < n) {
+    (raw, lens, c)
+  }
+
+  def decodeTexts(blob: Array[Byte]): Array[String] = {
+    val (raw, lens, c) = inflateTexts(blob)
+    val out = new Array[String](lens.length)
+    var i = 0
+    while (i < lens.length) {
       out(i) = new String(raw, c.pos, lens(i), StandardCharsets.UTF_8)
       c.pos += lens(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Per-text Unicode code-point counts, straight from the UTF-8 bytes
+    * (count of non-continuation bytes — equals `String.codePointCount` and
+    * Spark's `length()` semantics, supplementary planes included). Lets the
+    * rollup cube compute text-length stats without allocating one String
+    * per turn.
+    */
+  def decodeTextPointCounts(blob: Array[Byte]): Array[Int] = {
+    val (raw, lens, c) = inflateTexts(blob)
+    val out = new Array[Int](lens.length)
+    var i = 0
+    while (i < lens.length) {
+      var cnt = 0
+      var j = c.pos
+      val end = c.pos + lens(i)
+      while (j < end) {
+        if ((raw(j) & 0xc0) != 0x80) cnt += 1
+        j += 1
+      }
+      out(i) = cnt
+      c.pos = end
       i += 1
     }
     out

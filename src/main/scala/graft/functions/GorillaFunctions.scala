@@ -2,7 +2,8 @@ package graft.functions
 
 import graft.codec.Gorilla
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -63,6 +64,58 @@ case class GorillaDecodeTexts(child: Expression) extends GorillaDecodeBase {
   override def prettyName: String = "gorilla_decode_texts"
 }
 
+/** Generator (table function): decode a whole segment's four blobs straight
+  * to output rows `(idx, tsu, role, text)` — one `LATERAL VIEW
+  * gorilla_explode(idxBlob, tsBlob, roleBlob, textBlob)` replaces four
+  * decode calls + `arrays_zip` + `explode`, so the zipped array-of-structs
+  * never materializes per segment (at thousands of points × ~1 KB text per
+  * segment, that intermediate dominated the read path's allocations).
+  */
+case class GorillaExplodeSegment(idxBlob: Expression, tsBlob: Expression,
+    roleBlob: Expression, textBlob: Expression)
+    extends Expression with Generator with CodegenFallback with Serializable {
+
+  override def children: Seq[Expression] =
+    Seq(idxBlob, tsBlob, roleBlob, textBlob)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("idx", LongType, nullable = false),
+    StructField("tsu", LongType, nullable = false),
+    StructField("role", StringType, nullable = true),
+    StructField("text", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (children.forall(_.dataType == BinaryType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects four binary blob columns")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ib = idxBlob.eval(input)
+    val tb = tsBlob.eval(input)
+    val rb = roleBlob.eval(input)
+    val xb = textBlob.eval(input)
+    if (ib == null || tb == null || rb == null || xb == null) Iterator.empty
+    else {
+      val idx = Gorilla.decodeTimestamps(ib.asInstanceOf[Array[Byte]])
+      val tsu = Gorilla.decodeTimestamps(tb.asInstanceOf[Array[Byte]])
+      val role = Gorilla.decodeStrings(rb.asInstanceOf[Array[Byte]])
+      val text = Gorilla.decodeTexts(xb.asInstanceOf[Array[Byte]])
+      Iterator.tabulate(idx.length) { i =>
+        InternalRow(idx(i), tsu(i),
+          if (role(i) == null) null else UTF8String.fromString(role(i)),
+          UTF8String.fromString(text(i)))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2), c(3))
+  override def prettyName: String = "gorilla_explode"
+}
+
 /** Column-API wrappers + SQL registration. Wrappers use `call_function`,
   * so [[register]] (or the [[GraftExtensions]] config) must have run first.
   */
@@ -77,7 +130,8 @@ object GorillaFunctions {
     "gorilla_decode_longs" -> (es => GorillaDecodeLongs(es.head)),
     "gorilla_decode_doubles" -> (es => GorillaDecodeDoubles(es.head)),
     "gorilla_decode_strings" -> (es => GorillaDecodeStrings(es.head)),
-    "gorilla_decode_texts" -> (es => GorillaDecodeTexts(es.head)))
+    "gorilla_decode_texts" -> (es => GorillaDecodeTexts(es.head)),
+    "gorilla_explode" -> (es => GorillaExplodeSegment(es(0), es(1), es(2), es(3))))
 
   /** Register the functions on an existing session (tests / ad-hoc). */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
@@ -103,5 +157,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("gorilla_decode_strings"), es => GorillaDecodeStrings(es.head)))
     e.injectFunction((FunctionIdentifier("gorilla_decode_texts"),
       info("gorilla_decode_texts"), es => GorillaDecodeTexts(es.head)))
+    e.injectFunction((FunctionIdentifier("gorilla_explode"),
+      info("gorilla_explode"),
+      es => GorillaExplodeSegment(es(0), es(1), es(2), es(3))))
   }
 }

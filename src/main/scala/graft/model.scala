@@ -96,6 +96,11 @@ case class RollupConfig(
     tiers: Seq[Tier] = Tier.cascade,
     writeMode: String = "o",
     saltBuckets: Int = 8,
+    // files per (tier, pday) output partition: a hot day (most of the data
+    // in one pday) would otherwise serialize into ONE parquet-writing task;
+    // bounded salting caps the straggler at 1/N of the hot day while
+    // keeping listing cost at N files per partition
+    writeSaltBuckets: Int = 8,
     maxPointsPerSegment: Int = 65536,
     deflateLevel: Int = 6,
     runId: String = "run-0",

@@ -75,4 +75,47 @@ object Multimodal {
       }
     }
   }
+
+  case class FrameFeatures(media_id: Long, frame_idx: Int, n_bytes: Long,
+      features: Array[Float])
+
+  /** Frame sampling for video-kind payloads: treat the payload as
+    * `nFrames` contiguous byte slices (the stand-in for real frame decode)
+    * and featurize every `stride`-th frame — one output row per sampled
+    * frame. Partition-parallel flatMap, no shuffle; the 1→N row expansion
+    * happens executor-side, which is the shape a real ffmpeg-backed frame
+    * sampler needs (a video row must never inflate on the driver or across
+    * the shuffle as raw frames).
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int, stride: Int): Dataset[FrameFeatures] = {
+    require(nFrames > 0 && stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val frameLen = math.max(1, r.payload.length / nFrames)
+      (0 until nFrames by stride).iterator.map { f =>
+        val from = math.min(f * frameLen, r.payload.length)
+        val until =
+          if (f == nFrames - 1) r.payload.length
+          else math.min(r.payload.length, from + frameLen)
+        val slice = java.util.Arrays.copyOfRange(r.payload, from, math.max(from, until))
+        FrameFeatures(r.media_id, f, slice.length.toLong,
+          FakeCodec.decodeFeatures(slice))
+      }
+    }
+  }
+
+  /** "Resize" a feature vector by average-pooling adjacent bins (the
+    * histogram stand-in for image resizing): `newDim` must divide the
+    * input dim. Pure Column expression — stays inside codegen.
+    */
+  def resizeFeatures(features: org.apache.spark.sql.Column, oldDim: Int,
+      newDim: Int): org.apache.spark.sql.Column = {
+    require(newDim > 0 && oldDim % newDim == 0,
+      s"newDim=$newDim must divide oldDim=$oldDim")
+    val k = oldDim / newDim
+    transform(sequence(lit(0), lit(newDim - 1)), i =>
+      (aggregate(slice(features, i * k + 1, lit(k)), lit(0.0f),
+        (acc, v) => acc + v) / k).cast("float"))
+  }
 }

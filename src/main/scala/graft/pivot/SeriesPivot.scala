@@ -6,9 +6,15 @@ import graft.rollup.Rollups
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Turn + precomputed bucket, the sort key row of the streaming pivot. */
-case class TurnB(conv_id: String, turn_idx: Int, role: String, text: String,
-    tool: String, ts: java.sql.Timestamp, _bucket: Long)
+/** Byte-level sort row of the streaming pivot: `text` stays UTF-8 bytes and
+  * `ts` stays epoch-µs from the columnar scan to the deflate encoder — no
+  * per-turn String or Timestamp materialization anywhere in the hot path
+  * (the ~1 KB text would otherwise be transcoded UTF8String→String→UTF-8,
+  * two copies + a char[] allocation per turn, which dominates GC at high
+  * thread counts).
+  */
+case class TurnB(conv_id: String, turn_idx: Int, role: String, tool: String,
+    textB: Array[Byte], tsu: Long, _bucket: Long)
 
 /** The slice→series pivot (the PyReshaper core, generalized per
   * BASELINE.json north_star): input rows arrive partitioned by TIME
@@ -119,7 +125,13 @@ object SeriesPivot {
     import spark.implicits._
     val bucketSec = tier.bucketSec
     val withBucket = turns
-      .withColumn("_bucket", Rollups.bucketOf(col("ts"), bucketSec))
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        encode(col("text"), "UTF-8").as("textB"),
+        // cast: inputs may carry TIMESTAMP_NTZ (e.g. plain parquet); under
+        // the pinned UTC session the cast is value-preserving
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        Rollups.bucketOf(col("ts"), bucketSec).as("_bucket"))
       .repartition(col("conv_id"), col("_bucket"))
       .sortWithinPartitions(col("conv_id"), col("_bucket"), col("turn_idx"))
       .as[TurnB]
@@ -132,7 +144,7 @@ object SeriesPivot {
         private val ts = scala.collection.mutable.ArrayBuffer.empty[Long]
         private val role = scala.collection.mutable.ArrayBuffer.empty[String]
         private val tool = scala.collection.mutable.ArrayBuffer.empty[String]
-        private val text = scala.collection.mutable.ArrayBuffer.empty[String]
+        private val text = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         private var seqNo = 0
 
         private def flush(): Unit = {
@@ -142,7 +154,7 @@ object SeriesPivot {
               Gorilla.encodeTimestamps(idx.map(_.toLong).toArray),
               Gorilla.encodeStrings(role.toArray),
               Gorilla.encodeStrings(tool.toArray),
-              Gorilla.encodeTexts(text.toArray, cfg.deflateLevel)))
+              Gorilla.encodeTextBytes(text.toArray, cfg.deflateLevel)))
             idx.clear(); ts.clear(); role.clear(); tool.clear(); text.clear()
             seqNo += 1
           }
@@ -156,10 +168,10 @@ object SeriesPivot {
             if (key != curKey) { flush(); curKey = key; seqNo = 0 }
             else if (idx.length >= cfg.maxPointsPerSegment) flush()
             idx += cur.turn_idx
-            ts += graft.codec.SegmentAgg.toMicros(cur.ts)
+            ts += cur.tsu
             role += cur.role
             tool += cur.tool
-            text += cur.text
+            text += cur.textB
           }
           if (pending.isEmpty && !it.hasNext) flush()
         }

@@ -117,25 +117,23 @@ object Queries {
         col("text"), col("ts"))
   }
 
-  /** Same roundtrip through the NATIVE Catalyst expressions
-    * (gorilla_decode_* registered via GraftExtensions/register): segments
-    * are queryable from plain SQL; result must equal the raw input.
+  /** Same roundtrip through the NATIVE Catalyst surface: the
+    * `gorilla_explode` Generator (registered via GraftExtensions/register)
+    * decodes each segment's four blobs straight to rows — no per-segment
+    * zipped array-of-structs ever materializes (the scalar decode
+    * expressions `gorilla_decode_*` remain available for column-at-a-time
+    * SQL). Result must equal the raw input.
     */
   def segmentDecodeSql(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GorillaFunctions.register(s)
     SeriesPivot.segmentsSorted(eventsAsTurns(s, dir), Tier.Day, cfg)
       .toDF().createOrReplaceTempView("segments_v")
     s.sql(
-      """WITH d AS (
-        |  SELECT conv_id,
-        |    gorilla_decode_longs(idxBlob) AS idx,
-        |    gorilla_decode_longs(tsBlob) AS tsu,
-        |    gorilla_decode_strings(roleBlob) AS role,
-        |    gorilla_decode_texts(textBlob) AS text
-        |  FROM segments_v)
-        |SELECT conv_id, CAST(e.idx AS INT) AS turn_idx, e.role AS role,
-        |       e.text AS text, timestamp_micros(e.tsu) AS ts
-        |FROM d LATERAL VIEW explode(arrays_zip(idx, tsu, role, text)) t AS e
+      """SELECT conv_id, CAST(idx AS INT) AS turn_idx, role, text,
+        |       timestamp_micros(tsu) AS ts
+        |FROM segments_v
+        |LATERAL VIEW gorilla_explode(idxBlob, tsBlob, roleBlob, textBlob) g
+        |  AS idx, tsu, role, text
         |""".stripMargin)
   }
 
@@ -360,6 +358,20 @@ object Queries {
       size(col("embedding")).cast("long").as("dim"),
       graft.sim.Ann.l2Norm(col("embedding")).as("l2"))
 
+  /** Embedding-cosine near-duplicate pairs over a corpus with planted
+    * exact copies (vec_id+100000 for every 50th vector): SRP-bucket join +
+    * exact cosine verify. Identical vectors share every SRP bucket, so
+    * recall of true duplicates is total and the result equals the oracle's
+    * exhaustive all-pairs scan at this near-1 threshold.
+    */
+  def embedDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select("vec_id", "embedding")
+    val corpus = e.unionByName(e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    graft.sim.Ann.cosineDupPairs(corpus, "vec_id", "embedding",
+      minSim = 0.999999)
+  }
+
   /** Multimodal stub pipeline: binary payloads → partition-batched feature
     * extraction, exploded to sortable scalar rows (media_id, kind, n_bytes,
     * bin_idx, bin_count). The normalized float features are folded back to
@@ -403,6 +415,7 @@ object Queries {
     "ann_bruteforce" -> annBruteForce _,
     "ann_lsh" -> annLsh _,
     "embed_norms" -> embedNorms _,
+    "embed_dup_pairs" -> embedDupPairs _,
     "multimodal_features" -> multimodalFeatures _)
 
   val oracles: Map[String, String] = Map(
@@ -595,7 +608,21 @@ object Queries {
     "embed_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
-        |FROM embeddings""".stripMargin)
+        |FROM embeddings""".stripMargin,
+    // exhaustive all-pairs scan (oracle scale only) — the engine's
+    // bucket-join result must equal it at this near-1 threshold
+    "embed_dup_pairs" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.999999""".stripMargin)
 
   /** Lang-ID oracle generated from [[graft.text.TextAnalysis.stopwords]]
     * (single source of truth — the SQL lists can't drift from the engine's).

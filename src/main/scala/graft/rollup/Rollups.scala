@@ -69,13 +69,20 @@ object Rollups {
       val ts = graft.codec.Gorilla.decodeTimestamps(s.tsBlob)
       val role = graft.codec.Gorilla.decodeStrings(s.roleBlob)
       val tool = graft.codec.Gorilla.decodeStrings(s.toolBlob)
-      val text = graft.codec.Gorilla.decodeTexts(s.textBlob)
+      // code-point counts straight from UTF-8 bytes — the cube never
+      // materializes a String per turn (== Spark length() semantics)
+      val lens = graft.codec.Gorilla.decodeTextPointCounts(s.textBlob)
       Array.tabulate(s.n) { i =>
         val bucket = Math.floorDiv(Math.floorDiv(ts(i), 1000000L), bucketSec) * bucketSec
-        (s.conv_id, bucket, role(i), tool(i),
-          text(i).codePointCount(0, text(i).length))
+        (s.conv_id, bucket, role(i), tool(i), lens(i))
       }
     }.toDF("conv_id", "bucket", "role", "tool", "len")
+      // ONE exchange on (conv_id, bucket): HashPartitioning(conv,bucket)
+      // satisfies the clustering of BOTH this 4-key cube aggregate (subset
+      // rule) and the downstream 2-key points() aggregate — Catalyst elides
+      // the second full shuffle of the cube, which at 1m grain is nearly
+      // row-per-turn sized
+      .repartition(col("conv_id"), col("bucket"))
       .groupBy("conv_id", "bucket", "role", "tool")
       .agg(
         count(lit(1)).as("c"),
@@ -86,10 +93,14 @@ object Rollups {
 
   /** Rollup cascade: re-bucket a finer cube into a coarser tier.
     * Input and output share the cube schema; only `bucket` coarsens.
+    * Same one-exchange shape as [[cubeFromSegments]]: partitioned by
+    * (conv_id, coarse bucket) so the aggregate AND the downstream points
+    * fold both run exchange-free.
     */
   def cascadeCube(finer: DataFrame, tier: Tier): DataFrame =
     finer
       .withColumn("bucket", rebucket(col("bucket"), tier.bucketSec))
+      .repartition(col("conv_id"), col("bucket"))
       .groupBy("conv_id", "bucket", "role", "tool")
       .agg(
         sum("c").as("c"),
@@ -124,6 +135,66 @@ object Rollups {
         col("turns"), col("byRole"), col("byTool"),
         col("textLenSum"), col("textLenMin"), col("textLenMax"),
         lit(false).as("filled"))
+  }
+
+  /** Row of a tier cube, for the typed streaming points fold. */
+  private[rollup] case class CubeRow(conv_id: String, bucket: Long,
+      role: String, tool: String, c: Long, lenSum: Long, lenMin: Int, lenMax: Int)
+
+  /** Streaming points fold — identical output to [[points]] (asserted in
+    * tests) with a cheaper physical shape for the job path: the cube is
+    * ALREADY hash-partitioned by (conv_id, bucket) ([[cubeFromSegments]] /
+    * [[cascadeCube]]), so a codegen'd Tungsten sortWithinPartitions plus
+    * one tight typed pass replaces the ObjectHashAggregate(collect_list)
+    * — no multi-million-entry object hash map, no per-group array churn,
+    * zero exchanges. PRECONDITION: rows of one (conv_id, bucket) must be
+    * co-partitioned (any caller that can't guarantee it uses [[points]]).
+    */
+  def pointsStreamed(cubeDf: DataFrame, tierName: String): DataFrame = {
+    val spark = cubeDf.sparkSession
+    import spark.implicits._
+    cubeDf
+      .select("conv_id", "bucket", "role", "tool", "c", "lenSum", "lenMin", "lenMax")
+      .sortWithinPartitions("conv_id", "bucket")
+      .as[CubeRow]
+      .mapPartitions { it =>
+        new Iterator[graft.RollupPoint] {
+          private var cur: CubeRow = _
+          private var have = false
+          private def nextGroup(): graft.RollupPoint = {
+            // `cur` holds the first row of the group
+            var turns = 0L; var lenSum = 0L
+            var lenMin = Int.MaxValue; var lenMax = Int.MinValue
+            val byRole = scala.collection.mutable.TreeMap.empty[String, Long]
+            val byTool = scala.collection.mutable.TreeMap.empty[String, Long]
+            val key = (cur.conv_id, cur.bucket)
+            var more = true
+            while (more) {
+              turns += cur.c; lenSum += cur.lenSum
+              if (cur.lenMin < lenMin) lenMin = cur.lenMin
+              if (cur.lenMax > lenMax) lenMax = cur.lenMax
+              if (cur.role != null)
+                byRole.update(cur.role, byRole.getOrElse(cur.role, 0L) + cur.c)
+              if (cur.tool != null)
+                byTool.update(cur.tool, byTool.getOrElse(cur.tool, 0L) + cur.c)
+              if (it.hasNext) {
+                cur = it.next()
+                more = (cur.conv_id, cur.bucket) == key
+              } else { more = false; have = false; cur = null }
+            }
+            if (cur != null) have = true
+            graft.RollupPoint(key._1, tierName, key._2, turns,
+              byRole.toMap, byTool.toMap, lenSum, lenMin, lenMax, filled = false)
+          }
+          override def hasNext: Boolean = have || it.hasNext
+          override def next(): graft.RollupPoint = {
+            if (!have) { cur = it.next(); have = true }
+            have = false
+            nextGroup()
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Fold an array<struct{role,tool,c}> into map<key, sum(c)> with SQL

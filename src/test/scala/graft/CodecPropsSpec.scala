@@ -95,6 +95,49 @@ class CodecPropsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level text encode is blob-identical; point counts match String semantics") {
+    val rng = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val a = Array.fill(rng.nextInt(80)) {
+        rng.nextInt(4) match {
+          case 0 => ""
+          case 1 => rng.alphanumeric.take(rng.nextInt(1500)).mkString
+          case 2 => "多字节 ✓ emoji 🚀 ẞ " * rng.nextInt(4)
+          case _ => Array.fill(rng.nextInt(40))(rng.nextPrintableChar()).mkString
+        }
+      }
+      val fromStrings = Gorilla.encodeTexts(a)
+      val fromBytes = Gorilla.encodeTextBytes(a.map(_.getBytes("UTF-8")))
+      assert(java.util.Arrays.equals(fromStrings, fromBytes),
+        "byte-level encode must produce the identical blob")
+      val counts = Gorilla.decodeTextPointCounts(fromBytes)
+      assert(counts.sameElements(a.map(s => s.codePointCount(0, s.length))),
+        "UTF-8 lead-byte counting must equal String.codePointCount")
+    }
+    // nulls encode as empties in both paths
+    assert(java.util.Arrays.equals(
+      Gorilla.encodeTexts(Array(null, "x")),
+      Gorilla.encodeTextBytes(Array(null, "x".getBytes("UTF-8")))))
+  }
+
+  test("least_significant_digit quantization: bounded error, smaller blobs, lossless default") {
+    import graft.codec.{ValueBuf, ValueSegAgg}
+    val rng = new scala.util.Random(11)
+    val ts = Vector.tabulate(2000)(i => 1700000000000L + i * 1000L)
+    val vs = Vector.fill(2000)(20.0 + rng.nextDouble() * 0.01) // noisy mantissa
+    val lossless = new ValueSegAgg().finish(ValueBuf(ts, vs))
+    val lossy = new ValueSegAgg(Some(2)).finish(ValueBuf(ts, vs))
+    val back = Gorilla.decodeValues(lossy.valBlob)
+    // ts strictly increasing → finish() preserves input order
+    vs.zip(back.toSeq).foreach { case (v, q) =>
+      assert(math.abs(v - q) <= 0.5e-2, s"$v vs $q exceeds 0.5*10^-2")
+    }
+    assert(lossy.valBlob.length < lossless.valBlob.length / 2,
+      s"quantization should collapse XOR windows: ${lossy.valBlob.length} vs ${lossless.valBlob.length}")
+    assert(Gorilla.decodeValues(lossless.valBlob).toSeq == vs,
+      "default path stays lossless")
+  }
+
   test("DoD compresses regular timestamps to ~1-2 bits/point") {
     val a = Array.tabulate(10000)(i => 1700000000000L + i * 60000L)
     val blob = Gorilla.encodeTimestamps(a)

@@ -33,6 +33,30 @@ class FunctionsSpec extends SparkSpec {
     assertSameRows(sqlDecoded, turns.toDF(), "sql decode == input")
   }
 
+  test("gorilla_explode generator equals the zip+explode decode and the input") {
+    GorillaFunctions.register(spark)
+    val turns = Synth.tiny(spark).cache()
+    val cfg = RollupConfig("", "")
+    SeriesPivot.segmentsSorted(turns, Tier.Day, cfg).toDF()
+      .createOrReplaceTempView("seg_gen_test")
+    val exploded = spark.sql(
+      """SELECT conv_id, CAST(idx AS INT) AS turn_idx, role, text,
+        |       timestamp_micros(tsu) AS ts
+        |FROM seg_gen_test
+        |LATERAL VIEW gorilla_explode(idxBlob, tsBlob, roleBlob, textBlob) g
+        |  AS idx, tsu, role, text
+        |""".stripMargin)
+    assertSameRows(exploded,
+      turns.toDF().select("conv_id", "turn_idx", "role", "text", "ts"),
+      "generator decode == input")
+    // null blob rows contribute zero output rows, not a crash
+    val n = spark.sql(
+      """SELECT * FROM (SELECT conv_id, CAST(NULL AS BINARY) AS nb FROM seg_gen_test)
+        |LATERAL VIEW gorilla_explode(nb, nb, nb, nb) g AS idx, tsu, role, text
+        |""".stripMargin).count()
+    assert(n == 0)
+  }
+
   test("decode_doubles roundtrips a ValueSegment blob via SQL") {
     GorillaFunctions.register(spark)
     val vals = Array(1.5, 2.25, 2.25, -3.75, 1e12, 0.0)

@@ -200,4 +200,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats.select("media_id", "features").exceptAll(
       again.select("media_id", "features")).count() == 0)
   }
+
+  test("multimodal frame sampling: per-frame rows, byte-complete at stride 1") {
+    val media = Multimodal.mediaFromDocs(docs, "doc_id", "text").cache()
+    val frames = Multimodal.sampleFrames(media, nFrames = 8, stride = 2).cache()
+    // every media row expands to ceil(8/2) sampled frames
+    assert(frames.count() == docs.count() * 4)
+    assert(frames.select("frame_idx").distinct().as[Int].collect().sorted
+      .sameElements(Array(0, 2, 4, 6)))
+    // stride=1 covers the full payload: frame bytes sum to payload bytes
+    val full = Multimodal.sampleFrames(media, nFrames = 8, stride = 1)
+      .groupBy("media_id").agg(sum("n_bytes").as("b"))
+    val mismatch = full.join(
+      media.select($"media_id", length($"payload").cast("long").as("p")), "media_id")
+      .filter($"b" =!= $"p").count()
+    assert(mismatch == 0, "stride-1 frames must partition the payload")
+  }
+
+  test("multimodal resize average-pools feature bins") {
+    val media = Multimodal.mediaFromDocs(docs.limit(20), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).toDF()
+    val both = feats.select($"media_id", $"features",
+      Multimodal.resizeFeatures($"features", 16, 4).as("small")).cache()
+    assert(both.filter(size($"small") =!= 4).count() == 0)
+    // pooled sum equals original sum (up to float assoc error)
+    val bad = both.select(
+      aggregate($"features", lit(0.0f), (a, v) => a + v).as("s1"),
+      (aggregate($"small", lit(0.0f), (a, v) => a + v) * 4).as("s2"))
+      .filter(abs($"s1" - $"s2") > 1e-3).count()
+    assert(bad == 0)
+  }
 }
