@@ -35,18 +35,25 @@ object Validate {
     *  - (conv_id, turn_idx) is unique — the stable total order the
     *    equivalence invariant is defined over (input_hint)
     *  - no null conv_id / ts
+    *  - null `role` rows are counted and WARNED about (tolerated: they
+    *    aggregate into turn totals but are absent from byRole maps, like
+    *    null tool)
     * Returns the row count (callers reuse it instead of re-counting).
     */
   def rowInvariants(df: DataFrame): Long = {
     val agg = df.agg(
       count(lit(1)).as("n"),
       count_distinct(col("conv_id"), col("turn_idx")).as("distinct_keys"),
-      count(when(col("conv_id").isNull || col("ts").isNull, 1)).as("bad_nulls"))
+      count(when(col("conv_id").isNull || col("ts").isNull, 1)).as("bad_nulls"),
+      count(when(col("role").isNull, 1)).as("null_roles"))
       .head()
-    val (n, distinct, badNulls) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val (n, distinct, badNulls, nullRoles) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
     require(badNulls == 0, s"$badNulls rows with null conv_id/ts")
     require(distinct == n,
       s"(conv_id, turn_idx) not unique: $n rows, $distinct distinct keys")
+    if (nullRoles > 0)
+      println(s"[validate] WARN: $nullRoles rows with null role (kept in totals, absent from byRole)")
     n
   }
 }
