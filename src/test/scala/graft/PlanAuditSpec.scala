@@ -112,6 +112,20 @@ class PlanAuditSpec extends SparkSpec {
     segs.unpersist()
   }
 
+  test("LSH candidate joins are equi-joins — no cartesian product anywhere") {
+    // the one sanctioned nested-loop is the 1-row broadcast query vector in
+    // ann_*; bucket/band candidate generation must always be an equi-join
+    Seq(
+      Queries.dedupMinhashPairs(spark, sfDir),
+      Queries.dedupSimhashPairs(spark, sfDir),
+      Queries.embedDupPairs(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+    }
+  }
+
   test("pivot plan is one exchange + in-partition sort (no extra shuffle)") {
     val cfg = RollupConfig("", "")
     val p = plan(pivot.SeriesPivot.segmentsSorted(
