@@ -31,6 +31,11 @@ object BenchScaling {
       // bin-packing would cap scan parallelism at ~4 tasks
       .config("spark.sql.files.maxPartitionBytes", "8388608")
       .config("spark.sql.files.openCostInBytes", "1048576")
+      // shuffle codec knob: zstd trades shuffle bytes for CPU (helped the
+      // pivot phase in spot tests, did not move whole-ladder efficiency —
+      // see BENCH/BASELINE.md); default stays lz4, override to re-test
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

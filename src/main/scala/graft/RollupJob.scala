@@ -251,6 +251,9 @@ object RollupMain {
       .appName("graft-rollup")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle-codec knob (see BenchScaling note); default lz4
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
     // under spark-submit the master comes from --master (spark.master prop);
     // standalone runs fall back to local mode
     if (!sys.props.contains("spark.master")) {

@@ -352,6 +352,12 @@ object Queries {
   def annLsh(s: SparkSession, dir: String): DataFrame =
     graft.sim.Ann.lshTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)
 
+  /** IVF approximate top-10 (nprobe nearest centroid cells; rows-only —
+    * recall covered by the planted-near-dup test, like ann_lsh).
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.ivfTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)
+
   /** L2 norms of all embeddings (array-fold parity query). */
   def embedNorms(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).select(col("vec_id"),
@@ -414,6 +420,7 @@ object Queries {
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
     "ann_lsh" -> annLsh _,
+    "ann_ivf" -> annIvf _,
     "embed_norms" -> embedNorms _,
     "embed_dup_pairs" -> embedDupPairs _,
     "multimodal_features" -> multimodalFeatures _)

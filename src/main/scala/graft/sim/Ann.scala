@@ -90,6 +90,84 @@ object Ann {
       .limit(k)
   }
 
+  /** Squared L2 distance between an array column and a literal vector
+    * (sequential double fold — deterministic, codegen-friendly).
+    */
+  private def l2Sq(vec: Column, c: Array[Double]): Column =
+    aggregate(zip_with(vec, typedlit(c.toSeq),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid cell id: argmin over `cents` via array_min on
+    * (dist, idx) structs (lexicographic struct order ⇒ min distance,
+    * ties to the lower cell id — deterministic).
+    */
+  def ivfCell(vec: Column, cents: Array[Array[Double]]): Column =
+    // array() erases struct field aliases → positional col1/col2
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(l2Sq(vec, c), lit(i))
+    }: _*)).getField("col2")
+
+  /** Deterministic IVF centroids: seed with the `nlist` vectors whose ids
+    * hash lowest (a uniform pseudo-random sample, stable across runs and
+    * parallelism), then refine with one Lloyd step computed as DataFrame
+    * aggregations (posexplode → per-(cell, dim) mean). Production at 10^9
+    * vectors would run a few more weighted iterations the same way; the
+    * mechanism — centroids live on the driver like any broadcast dim —
+    * is identical. Empty cells keep their seed.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] = {
+    val seeds = emb
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
+    // materialize the cell BEFORE exploding: ArrayAggregate HOFs are
+    // interpreted (CodegenFallback), and projection collapse would
+    // otherwise re-evaluate the nlist-centroid fold once per exploded
+    // DIMENSION (a dim× blowup of the most expensive expression)
+    val withCell = emb
+      .select(ivfCell(col(vecCol), seeds).as("cell"), col(vecCol).as("_v"))
+      .persist()
+    val assigned = withCell
+      .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "v")))
+    val means = assigned.groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("e"))
+      .select(col("cell"), expr("transform(e, x -> x.m)").as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    withCell.unpersist()
+    Array.tabulate(nlist)(i => means.getOrElse(i, seeds(i)))
+  }
+
+  /** IVF approximate top-k: scan only the `nprobe` cells whose centroids
+    * are nearest the query vector — the inverted-file scale path (the
+    * cell id is a write-once partition column at rest, so the probe is
+    * partition pruning). Returned sims are exact cosines of the scanned
+    * vectors; orderBy().limit() keeps the top-k plan a per-partition heap.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nlist)
+    val withCell = emb.withColumn("_cell", ivfCell(col(vecCol), cents))
+    val q = withCell.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head()
+    val qvec = q.getSeq[Number](0).map(_.doubleValue).toArray
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(qvec).map { case (a, b) => (a - b) * (a - b) }.sum, i) }
+      .sorted.take(nprobe).map(_._2)
+    withCell
+      .filter(col("_cell").isin(probeCells.map(Integer.valueOf): _*) &&
+        col(idCol) =!= queryId)
+      .select(col(idCol),
+        cosine(col(vecCol), typedlit(qvec.toSeq)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: SRP-bucket join (exact bucket match)
     * then exact cosine >= minSim verification — the embedding analog of
     * MinHash-LSH dedup.

@@ -142,6 +142,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(df > corpus.count() / 2, "injected shingle must be hot")
   }
 
+  test("IVF top-k: planted near-dups recovered, sims exact, cell pruning real") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = (1 to 12).map { i =>
+      base.filter($"vec_id" === 0).select(
+        lit(100000L + i).as("vec_id"),
+        transform($"embedding",
+          (x, j) => x * (lit(1.0f) + lit(0.001f) * pmod(lit(i) + j, lit(7))))
+          .as("embedding"))
+    }.reduce(_ unionByName _).unionByName(base)
+    val ivf = Ann.ivfTopK(planted, "vec_id", "embedding", 0, 12,
+      nlist = 8, nprobe = 2).cache()
+    val recall = ivf.select("vec_id").as[Long].collect().count(_ > 100000L) / 12.0
+    assert(recall >= 0.75, s"planted-neighbor IVF recall too low: $recall")
+    // sims are exact cosines
+    val exact = planted.filter($"vec_id" =!= 0).crossJoin(
+      broadcast(planted.filter($"vec_id" === 0).select($"embedding".as("q"))))
+      .select($"vec_id", Ann.cosine($"embedding", $"q").as("sim_exact"))
+    assert(ivf.join(exact, "vec_id")
+      .filter(abs($"sim" - $"sim_exact") > 1e-9).count() == 0)
+    // the probe really prunes: assignment spreads vectors over >1 cell
+    val cents = Ann.ivfCentroids(base, "vec_id", "embedding", 8)
+    val cells = base.select(Ann.ivfCell($"embedding", cents).as("c"))
+      .distinct().count()
+    assert(cells > 1, "all vectors in one IVF cell — no pruning possible")
+  }
+
   test("embedding cosine near-dup pairs find planted duplicates") {
     val planted = emb.select("vec_id", "embedding")
       .unionByName(emb.filter($"vec_id" % 50 === 0)
