@@ -35,6 +35,11 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
+    unknown = only - set(oracles)
+    if unknown:
+        print(f"ERROR: no oracle for requested quer{'y' if len(unknown)==1 else 'ies'}: "
+              f"{sorted(unknown)} (rows-only or misspelled)")
+        n_fail += len(unknown)
     for name in sorted(oracles):
         if only and name not in only:
             continue

@@ -41,15 +41,18 @@ object ProfilePoints {
     timed("cube decode+agg (count)")(cube.count())
     val cubeP = cube.persist()
     timed("cube persist")(cubeP.count())
-    val pts = Rollups.points(cubeP, "1m")
-    timed("points fold (count)")(pts.count())
+    // profile the JOB's actual path: streamed fold + pinned salted write
+    val pts = Rollups.pointsStreamed(cubeP, "1m")
+    timed("streamed points fold (count)")(pts.count())
     val out = "/tmp/graft_profile_out"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     val withDay = pts.withColumn("pday",
       date_format(timestamp_seconds(col("bucket")), "yyyy-MM-dd"))
-    timed("repartition+write") {
-      withDay.repartition(col("pday")).write.partitionBy("tier", "pday")
+    val salt = pmod(xxhash64(col("conv_id")), lit(8))
+    timed("salted repartition+write") {
+      withDay.repartition(cores * 4, col("pday"), salt)
+        .write.partitionBy("tier", "pday")
         .mode("overwrite").parquet(out)
       0L
     }

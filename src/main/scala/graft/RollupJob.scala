@@ -123,7 +123,8 @@ object RollupJob {
     // the salt factor. numPartitions is PINNED (REPARTITION_BY_NUM) so AQE
     // can't coalesce write parallelism away on small data.
     val writeParts = spark.sessionState.conf.numShufflePartitions
-    val writeSalt = pmod(xxhash64(col("conv_id")), lit(cfg.writeSaltBuckets))
+    val writeSalt =
+      pmod(xxhash64(col("conv_id")), lit(math.max(1, cfg.writeSaltBuckets)))
     timed("segments pivot+write")(
       io.write(segsToWrite.repartition(writeParts, col("pday"), writeSalt),
         segmentsPath, Seq("tier", "pday"), "overwrite"))
@@ -204,7 +205,7 @@ object RollupJob {
     // strictly single-raw-scan under every write mode (ts filter included)
     val (inputRows, maxTsSec) = segsTyped
       .map(s => (s.n.toLong,
-        graft.codec.Gorilla.decodeTimestamps(s.tsBlob).max / 1000000L))
+        Math.floorDiv(graft.codec.Gorilla.decodeTimestamps(s.tsBlob).max, 1000000L)))
       .toDF("n", "t")
       .agg(coalesce(sum("n"), lit(0)).cast("long"), max("t"))
       .as[(Long, Option[Long])].head()

@@ -38,7 +38,11 @@ object Retention {
     */
   def apply(spark: SparkSession, io: TableIO, path: String, tiers: Seq[Tier],
       asOfSec: Long): Map[String, String] = {
-    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    // SHORT_IDS: Spark itself resolves session zones like 'PST' via the
+    // short-id map — without it a job that wrote all its data would crash
+    // here on ZoneRulesException
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone, java.time.ZoneId.SHORT_IDS)
     val cuts = tiers.flatMap(t => cutoffDay(t, asOfSec, zone).map(t.name -> _)).toMap
     cuts.foreach { case (tierName, cut) =>
       io.dropPartitions(spark, path, s"tier = '$tierName' AND pday < '$cut'")

@@ -148,9 +148,12 @@ object Rollups {
     * one tight typed pass replaces the ObjectHashAggregate(collect_list)
     * — no multi-million-entry object hash map, no per-group array churn,
     * zero exchanges. PRECONDITION: rows of one (conv_id, bucket) must be
-    * co-partitioned (any caller that can't guarantee it uses [[points]]).
+    * co-partitioned — violating it silently emits one point per
+    * per-partition key-run instead of one per key, so this is
+    * `private[graft]`: external callers get the unconditional [[points]];
+    * the job path guarantees clustering by construction.
     */
-  def pointsStreamed(cubeDf: DataFrame, tierName: String): DataFrame = {
+  private[graft] def pointsStreamed(cubeDf: DataFrame, tierName: String): DataFrame = {
     val spark = cubeDf.sparkSession
     import spark.implicits._
     cubeDf

@@ -123,6 +123,8 @@ object Ann {
       .limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
+    // corpus smaller than nlist: every vector is its own centroid
+    val effNlist = seeds.length
     // materialize the cell BEFORE exploding: ArrayAggregate HOFs are
     // interpreted (CodegenFallback), and projection collapse would
     // otherwise re-evaluate the nlist-centroid fold once per exploded
@@ -139,7 +141,7 @@ object Ann {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     withCell.unpersist()
-    Array.tabulate(nlist)(i => means.getOrElse(i, seeds(i)))
+    Array.tabulate(effNlist)(i => means.getOrElse(i, seeds(i)))
   }
 
   /** IVF approximate top-k: scan only the `nprobe` cells whose centroids
