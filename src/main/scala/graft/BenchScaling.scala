@@ -142,6 +142,10 @@ object BenchScaling {
     println(json)
 
     Files.createDirectories(Paths.get("BENCH"))
+    // provenance log: every run appends its JSON line
+    Files.writeString(Paths.get("BENCH/runs.jsonl"), json + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     val md =
       f"""# BENCH/BASELINE — measured scaling + compression
          |
@@ -191,7 +195,13 @@ object BenchScaling {
          |dictionary role+tool ≈ 1.2 B/point, deflated text $textBpp%.1f
          |B/point against ~1 KB/turn raw text.
          |""".stripMargin
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
-    println("wrote BENCH/BASELINE.md")
+    // BENCH/BASELINE.md is a curated full-ladder document — experiment
+    // runs write a per-levels file instead, and only overwrite the
+    // baseline when explicitly asked
+    val target =
+      if (sys.env.contains("GRAFT_BENCH_WRITE_BASELINE")) "BENCH/BASELINE.md"
+      else s"BENCH/SCALING_${n1}_$n4.md"
+    Files.writeString(Paths.get(target), md)
+    println(s"wrote $target (and appended BENCH/runs.jsonl)")
   }
 }

@@ -110,38 +110,44 @@ object Ann {
 
   /** Deterministic IVF centroids: seed with the `nlist` vectors whose ids
     * hash lowest (a uniform pseudo-random sample, stable across runs and
-    * parallelism), then refine with one Lloyd step computed as DataFrame
-    * aggregations (posexplode → per-(cell, dim) mean). Production at 10^9
-    * vectors would run a few more weighted iterations the same way; the
-    * mechanism — centroids live on the driver like any broadcast dim —
-    * is identical. Empty cells keep their seed.
+    * parallelism), then refine with `iters` Lloyd steps computed as
+    * DataFrame aggregations (posexplode → per-(cell, dim) mean) — one
+    * distributed pass per iteration, centroids live on the driver like any
+    * broadcast dim. Empty cells keep their previous centroid.
     */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): Array[Array[Double]] = {
+      nlist: Int, iters: Int = 1): Array[Array[Double]] = {
     val seeds = emb
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
     // corpus smaller than nlist: every vector is its own centroid
-    val effNlist = seeds.length
+    (1 to iters).foldLeft(seeds)((cents, _) => lloydStep(emb, vecCol, cents))
+  }
+
+  /** One Lloyd refinement pass: assign every vector to its nearest
+    * centroid, return the per-cell per-dimension means.
+    */
+  private def lloydStep(emb: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): Array[Array[Double]] = {
     // materialize the cell BEFORE exploding: ArrayAggregate HOFs are
     // interpreted (CodegenFallback), and projection collapse would
     // otherwise re-evaluate the nlist-centroid fold once per exploded
     // DIMENSION (a dim× blowup of the most expensive expression)
     val withCell = emb
-      .select(ivfCell(col(vecCol), seeds).as("cell"), col(vecCol).as("_v"))
+      .select(ivfCell(col(vecCol), cents).as("cell"), col(vecCol).as("_v"))
       .persist()
-    val assigned = withCell
+    val means = withCell
       .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "v")))
-    val means = assigned.groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell", "pos").agg(avg("v").as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("e"))
       .select(col("cell"), expr("transform(e, x -> x.m)").as("c"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     withCell.unpersist()
-    Array.tabulate(effNlist)(i => means.getOrElse(i, seeds(i)))
+    Array.tabulate(cents.length)(i => means.getOrElse(i, cents(i)))
   }
 
   /** IVF approximate top-k: scan only the `nprobe` cells whose centroids
