@@ -96,6 +96,8 @@ object RollupJob {
 
     val fingerprint = s"${cfg.inputPath}@${cfg.runId}"
     val sorted = cfg.tiers.sortBy(_.bucketSec)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
 
     // ---- segments (the pivot) at the coarsest tier: long segments amortize
     // per-segment encode cost; memory stays bounded via maxPointsPerSegment.
@@ -131,6 +133,21 @@ object RollupJob {
     val segsWritten = Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
       segsToWrite.select(concat(lit("seg-"), col("tier")).as("tier"), col("pday")),
       fingerprint)
+
+    // run stats (inputRows + max event time for retention) from the CACHED
+    // segments in ONE fused pass, never the raw table — keeps the job
+    // strictly single-raw-scan under every write mode. Submitted as a
+    // CONCURRENT Spark job: the cache is hot after the segments write, the
+    // rollup cascade below is independent, and the scheduler interleaves
+    // this pass into its stage tails (awaited before retention).
+    val statsF: Future[(Long, Option[Long])] = Future {
+      segsTyped
+        .map(s => (s.n.toLong,
+          Math.floorDiv(graft.codec.Gorilla.decodeTimestamps(s.tsBlob).max, 1000000L)))
+        .toDF("n", "t")
+        .agg(coalesce(sum("n"), lit(0)).cast("long"), max("t"))
+        .as[(Long, Option[Long])].head()
+    }
 
     // ---- rollup cascade: finest cube decoded from the cached segments,
     // coarser tiers from the finer cube — raw data is never rescanned ----
@@ -200,15 +217,8 @@ object RollupJob {
     io.write(dims.coalesce(1), s"${cfg.outputRoot}/dims", Seq.empty, "overwrite")
 
     // ---- retention ----
-    // asOf (max event time) and inputRows both come from the CACHED
-    // segments in ONE fused pass, never the raw table — keeps the job
-    // strictly single-raw-scan under every write mode (ts filter included)
-    val (inputRows, maxTsSec) = segsTyped
-      .map(s => (s.n.toLong,
-        Math.floorDiv(graft.codec.Gorilla.decodeTimestamps(s.tsBlob).max, 1000000L)))
-      .toDF("n", "t")
-      .agg(coalesce(sum("n"), lit(0)).cast("long"), max("t"))
-      .as[(Long, Option[Long])].head()
+    val (inputRows, maxTsSec) =
+      Await.result(statsF, scala.concurrent.duration.Duration.Inf)
     val asOf = asOfSec.orElse(maxTsSec).getOrElse(0L)
     val retained = Retention(spark, io, pointsPath, cfg.tiers, asOf)
     // segments follow the COARSEST tier's retention (the safe policy:
