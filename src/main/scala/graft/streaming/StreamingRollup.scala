@@ -42,6 +42,28 @@ object StreamingRollup {
         col("turns"), col("textLenSum"), col("textLenMin"), col("textLenMax"))
   }
 
+  /** Streaming exact dedup at ingest: drop rows whose normalized content
+    * fingerprint ([[graft.text.TextAnalysis.fingerprint]]) was already
+    * seen within the watermark horizon — `dropDuplicatesWithinWatermark`
+    * keys state on the 64-bit fingerprint only, so state is bounded by
+    * (distinct docs within horizon) × ~16 bytes rather than by text size.
+    * The batch analog is [[graft.dedup.Dedup.exact]]; the watermark bound
+    * is the streaming trade: an exact duplicate arriving later than the
+    * horizon is NOT dropped (document-level dedup of a crawl feed, not a
+    * total-history guarantee — run the batch pass for that).
+    */
+  def dedupStream(spark: SparkSession, inputDir: String, schema: StructType,
+      idCol: String, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withColumn("_fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+  }
+
   /** Write the stream to an in-memory table (tests/demos) or extend with a
     * parquet/Iceberg sink in prod. Complete mode here because a finite
     * AvailableNow run never advances the watermark past the final windows
@@ -51,6 +73,14 @@ object StreamingRollup {
   def toMemorySink(df: DataFrame, name: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+
+  /** Append-mode memory sink for row streams (dedup etc.). */
+  def toAppendMemorySink(df: DataFrame, name: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

@@ -33,4 +33,30 @@ class StreamingSpec extends SparkSpec {
         col("lenMinI").as("textLenMin"), col("lenMaxI").as("textLenMax"))
     assertSameRows(got, want, "stream == batch")
   }
+
+  test("streaming dedup drops in-horizon duplicates, keeps one survivor per text") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        // deterministic event time within one watermark horizon
+        expr("timestamp_seconds(1700000000 + doc_id % 60)").as("ts"))
+    // corpus: originals + exact copies of every 10th doc (different ids)
+    val corpus = docs.unionByName(
+      docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 10000).as("doc_id"), $"text", $"ts"))
+    corpus.write.parquet(s"$dir/in")
+
+    val stream = StreamingRollup.dedupStream(spark, s"$dir/in",
+      corpus.schema, "doc_id", "text", "ts")
+    val q = StreamingRollup.toAppendMemorySink(stream, "stream_dedup")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.awaitTermination()
+
+    val got = spark.table("stream_dedup")
+    val nDocs = docs.count()
+    assert(got.count() == nDocs,
+      s"expected one survivor per distinct text (= $nDocs), got ${got.count()}")
+    // exactly one row per text, never zero or two
+    assert(got.groupBy("text").count().filter($"count" =!= 1).count() == 0)
+  }
 }
