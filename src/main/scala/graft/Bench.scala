@@ -15,9 +15,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up so the first measured query isn't charged for it
-    // (count, not sum — summing 64-bit hashes overflows under ANSI mode)
+    // (count, not sum — summing 64-bit hashes overflows under ANSI mode).
+    // Best-effort: a broken sfDir must surface as per-query errors in the
+    // JSON below, not crash before any JSON is emitted
     spark.range(1000000).selectExpr("count(xxhash64(id))").collect()
-    spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
+    try spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up read failed (continuing): ${e.getMessage}")
+    }
     // a failing query records its error instead of posing as a fast run
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
