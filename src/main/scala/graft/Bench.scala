@@ -31,7 +31,7 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.linesIterator.next().take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")

@@ -40,12 +40,40 @@ object RollupJob {
   private def debugTimed(phase: String)(f: => Long): Unit =
     if (phaseDebug) { val (n, _) = timed(phase)(f); println(s"[rollup]   ($phase rows: $n)") }
 
+  /** wmode-'a' input predicate: `ts >= start of the day after minHw`
+    * (pdays are UTC day strings). A plain `>=` on the ts column against a
+    * timestamp literal so the scan can prune on min/max stats and partition
+    * transforms (pushdown asserted by PlanAuditSpec).
+    */
+  private[graft] def appendPredicate(
+      tsType: org.apache.spark.sql.types.DataType, minHw: String)
+      : org.apache.spark.sql.Column = {
+    val nextDay = java.time.LocalDate.parse(minHw).plusDays(1)
+    val bound = tsType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        lit(nextDay.atStartOfDay()) // wall-clock literal for NTZ tables
+      case _ =>
+        lit(java.sql.Timestamp.from(
+          nextDay.atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
+    }
+    col("ts") >= bound
+  }
+
   /** Run the full pipeline. `asOfSec` drives retention (None = max input
     * bucket, deterministic — never wall-clock).
     */
   def run(spark: SparkSession, cfg: RollupConfig,
       io: TableIO = ParquetTableIO, asOfSec: Option[Long] = None): RunReport = {
     import spark.implicits._
+    // CORRECTNESS PIN: Rollups.pointsStreamed relies on the cube's cached
+    // (conv_id, bucket) hash partitioning surviving into the points fold;
+    // with canChangeCachedPlanOutputPartitioning=true AQE may re-plan the
+    // cached cube's output partitioning and silently break the per-key
+    // co-partitioning precondition (one point per key-run, not per key).
+    // The job owns its session's planning semantics, so pin it here rather
+    // than trusting spark-defaults.
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
     val pointsPath = s"${cfg.outputRoot}/points"
     val segmentsPath = s"${cfg.outputRoot}/segments"
 
@@ -76,13 +104,18 @@ object RollupJob {
       case None => turnsRead
     }
 
-    // ---- wmode 'a': prune input below the committed high-water mark ----
+    // ---- wmode 'a': prune input below the committed high-water mark.
+    // The predicate compares ts DIRECTLY against a timestamp literal (start
+    // of the day after the high-water pday, UTC — pdays are UTC day strings)
+    // so parquet/Iceberg can prune row groups on ts min/max stats and
+    // partition transforms; a date_format(ts) string comparison would force
+    // a full rescan of the raw table on every append run (PlanAuditSpec
+    // asserts the pushdown).
     val turns = if (cfg.writeMode == "a") {
       val hw = Checkpoint.highWater(spark, io, cfg.outputRoot)
       hw.values.minOption match {
         case Some(minHw) =>
-          // partition-prunable predicate in prod (ts maps to table partition)
-          turnsAll.filter(date_format(col("ts"), "yyyy-MM-dd") > minHw)
+          turnsAll.filter(appendPredicate(inputDf.schema("ts").dataType, minHw))
         case None => turnsAll
       }
     } else turnsAll
@@ -208,13 +241,22 @@ object RollupJob {
 
     // ---- dimension table (O3, the `once`-file analog): conversation-level
     // attributes written once per run, derived from the coarsest cube (no
-    // extra scan of raw data); broadcast-join side for downstream queries
+    // extra scan of raw data); broadcast-join side for downstream queries.
+    // The `once` analog requires one TABLE per run, not one file: at
+    // 10^8–10^9 conversations a coalesce(1) would funnel the whole table
+    // through a single task (and cap the upstream aggregate's output
+    // parallelism), so this is a pinned multi-task write like the
+    // points/segments writes. Submitted concurrently — the coarsest cube is
+    // cached and the retention pass below is independent of dims.
     val dims = finerCube.groupBy("conv_id").agg(
       sum("c").as("turns_total"),
       sum("lenSum").as("text_len_total"),
       min("bucket").as("first_bucket"),
       max("bucket").as("last_bucket"))
-    io.write(dims.coalesce(1), s"${cfg.outputRoot}/dims", Seq.empty, "overwrite")
+    val dimsF: Future[Unit] = Future {
+      io.write(dims.repartition(writeParts),
+        s"${cfg.outputRoot}/dims", Seq.empty, "overwrite")
+    }
 
     // ---- retention ----
     val (inputRows, maxTsSec) =
@@ -224,6 +266,7 @@ object RollupJob {
     // segments follow the COARSEST tier's retention (the safe policy:
     // segments are the decode source for every re-aggregation)
     Retention(spark, io, segmentsPath, Seq(segTier), asOf)
+    Await.result(dimsF, scala.concurrent.duration.Duration.Inf)
     segsTyped.unpersist()
     cubes.foreach(_.unpersist())
     Checkpoint.recordMetrics(spark, io, cfg.outputRoot, cfg.runId, "run",
@@ -262,6 +305,8 @@ object RollupMain {
       .appName("graft-rollup")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // see the pin in RollupJob.run — required by the streamed points fold
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       // shuffle-codec knob (see BenchScaling note); default lz4
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))

@@ -161,8 +161,12 @@ object Ann {
     val cents = ivfCentroids(emb, idCol, vecCol, nlist)
     val withCell = emb.withColumn("_cell", ivfCell(col(vecCol), cents))
     val q = withCell.filter(col(idCol) === queryId)
-      .select(col(vecCol)).head()
-    val qvec = q.getSeq[Number](0).map(_.doubleValue).toArray
+      .select(col(vecCol)).head(1).headOption
+    if (q.isEmpty)
+      // absent query id degrades to an empty result like bruteForceTopK /
+      // lshTopK (empty broadcast side), never a NoSuchElementException
+      return emb.limit(0).select(col(idCol), lit(0.0).as("sim"))
+    val qvec = q.get.getSeq[Number](0).map(_.doubleValue).toArray
     val probeCells = cents.zipWithIndex
       .map { case (c, i) =>
         (c.zip(qvec).map { case (a, b) => (a - b) * (a - b) }.sum, i) }

@@ -45,11 +45,16 @@ object StreamingRollup {
   /** Streaming exact dedup at ingest: drop rows whose normalized content
     * fingerprint ([[graft.text.TextAnalysis.fingerprint]]) was already
     * seen within the watermark horizon — `dropDuplicatesWithinWatermark`
-    * keys state on the 64-bit fingerprint only, so state is bounded by
-    * (distinct docs within horizon) × ~16 bytes rather than by text size.
-    * The batch analog is [[graft.dedup.Dedup.exact]]; the watermark bound
-    * is the streaming trade: an exact duplicate arriving later than the
-    * horizon is NOT dropped (document-level dedup of a crawl feed, not a
+    * keys state on TWO independent 64-bit fingerprints of the normalized
+    * text (128 collision bits — silent loss of a distinct doc needs a
+    * double collision, ~2^-128 per pair), so state is bounded by
+    * (distinct docs within horizon) × ~24 bytes rather than by text size.
+    * Note the dedup key is the NORMALIZED content (lowercased, whitespace
+    * collapsed — [[graft.text.TextAnalysis.fingerprint]]): docs differing
+    * only in case/whitespace are conflated by design, matching the batch
+    * analog [[graft.dedup.Dedup.exact]]. The watermark bound is the
+    * streaming trade: an exact duplicate arriving later than the horizon
+    * is NOT dropped (document-level dedup of a crawl feed, not a
     * total-history guarantee — run the batch pass for that).
     */
   def dedupStream(spark: SparkSession, inputDir: String, schema: StructType,
@@ -59,9 +64,10 @@ object StreamingRollup {
       .schema(schema)
       .parquet(inputDir)
       .withColumn("_fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("_fp2", graft.text.TextAnalysis.fingerprint2(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_fp")
-      .drop("_fp")
+      .dropDuplicatesWithinWatermark("_fp", "_fp2")
+      .drop("_fp", "_fp2")
   }
 
   /** Write the stream to an in-memory table (tests/demos) or extend with a

@@ -38,6 +38,21 @@ class PlanAuditSpec extends SparkSpec {
       s"price filter not pushed to scan:\n$p")
   }
 
+  test("wmode-'a' high-water predicate pushes down to the ts scan") {
+    // append-mode pruning must be a plain ts >= literal (min/max-stat +
+    // partition-transform prunable), never a date_format(ts) string compare
+    // that forces a full rescan of the raw table on every append run
+    val tmp = java.nio.file.Files.createTempDirectory("graft-append").toString
+    gen.Synth.tiny(spark).write.parquet(s"$tmp/in")
+    val in = spark.read.parquet(s"$tmp/in")
+    val pruned = in.filter(
+      RollupJob.appendPredicate(in.schema("ts").dataType, "2024-01-01"))
+    val p = plan(pruned)
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("\\s+", " ").contains("GreaterThanOrEqual(ts"),
+      s"ts high-water filter not pushed to scan:\n$p")
+  }
+
   test("dimension join broadcasts the customer side") {
     val p = plan(Queries.joinBroadcastAgg(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
