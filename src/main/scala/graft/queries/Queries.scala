@@ -348,12 +348,19 @@ object Queries {
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
     graft.sim.Ann.bruteForceTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)
 
-  /** SRP-LSH approximate top-10 (bucket-pruned scan; rows-only). */
+  /** SRP-LSH approximate top-10 (bucket-pruned scan). Fully oracle-checked:
+    * the hyperplanes are deterministic literals, so [[lshOracle]] inlines
+    * them and recomputes buckets, multi-probe candidates, and exact cosine
+    * sims in SQL.
+    */
   def annLsh(s: SparkSession, dir: String): DataFrame =
     graft.sim.Ann.lshTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)
 
-  /** IVF approximate top-10 (nprobe nearest centroid cells; rows-only —
-    * recall covered by the planted-near-dup test, like ann_lsh).
+  /** IVF approximate top-10 (nprobe nearest centroid cells). Fully
+    * oracle-checked: seeds are md5-ordered and Lloyd means are quantized
+    * integer sums ([[graft.sim.Ann.LloydQuant]]), so [[ivfOracle]]
+    * recomputes the exact centroids, cell assignment, probe set, and
+    * cosine sims in SQL.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame =
     graft.sim.Ann.ivfTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)
@@ -394,6 +401,23 @@ object Queries {
       .select(col("media_id"), col("kind"), col("n_bytes"), col("bin_idx"),
         round(col("feat") * col("n_bytes")).cast("long").as("bin_count"))
 
+  /** Frame sampling over the video-kind payloads (4 frames, stride 2 →
+    * frames 0 and 2): executor-side 1→N byte-slice expansion, each slice
+    * featurized and folded back to exact integer byte-histogram counts
+    * exactly like [[multimodalFeatures]] — the DuckDB oracle recomputes the
+    * slice bounds and histograms from the UTF-8 payload bytes.
+    */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.mediaFromDocs(documents(s, dir), "doc_id", "text")
+        .filter(col("kind") === "video"),
+      nFrames = 4, stride = 2)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("bin_idx", "feat")))
+      .select(col("media_id"), col("frame_idx"), col("n_bytes"), col("bin_idx"),
+        round(col("feat") * col("n_bytes")).cast("long").as("bin_count"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rollup_1m" -> rollup1m _,
     "rollup_1h_cascade" -> rollup1hCascade _,
@@ -423,7 +447,8 @@ object Queries {
     "ann_ivf" -> annIvf _,
     "embed_norms" -> embedNorms _,
     "embed_dup_pairs" -> embedDupPairs _,
-    "multimodal_features" -> multimodalFeatures _)
+    "multimodal_features" -> multimodalFeatures _,
+    "multimodal_frames" -> multimodalFrames _)
 
   val oracles: Map[String, String] = Map(
     "rollup_1m" ->
@@ -592,6 +617,38 @@ object Queries {
         |  CAST(coalesce(h.c, 0) AS BIGINT) AS bin_count
         |FROM spine s LEFT JOIN hist h
         |  ON s.media_id = h.media_id AND s.bin_idx = h.bin_idx""".stripMargin,
+    // Recomputes sampleFrames' byte-slice bounds (nFrames=4, stride=2 →
+    // frames 0 and 2; frameLen = max(1, len/4); the f == nFrames-1
+    // last-frame-takes-tail branch is unreachable at stride 2) and each
+    // slice's 16-bin byte histogram, video-kind docs only (doc_id % 3 = 2).
+    "multimodal_frames" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |frames AS (
+        |  SELECT media_id, hx, f AS frame_idx,
+        |    least(f * greatest(1, len // 4), len) AS frm,
+        |    least(len, least(f * greatest(1, len // 4), len) + greatest(1, len // 4)) AS til
+        |  FROM media, (SELECT unnest([0, 2]) AS f) fs),
+        |bytes AS (
+        |  SELECT media_id, frame_idx,
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+        |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS byte
+        |  FROM frames, unnest(generate_series(frm + 1, til)) AS u(i)),
+        |hist AS (
+        |  SELECT media_id, frame_idx, byte // 16 AS bin_idx, count(*) AS c
+        |  FROM bytes GROUP BY 1, 2, 3),
+        |spine AS (
+        |  SELECT media_id, frame_idx, til - frm AS n_bytes,
+        |         unnest(generate_series(0, 15)) AS bin_idx
+        |  FROM frames)
+        |SELECT s.media_id, CAST(s.frame_idx AS INT) AS frame_idx,
+        |  CAST(s.n_bytes AS BIGINT) AS n_bytes, CAST(s.bin_idx AS INT) AS bin_idx,
+        |  CAST(coalesce(h.c, 0) AS BIGINT) AS bin_count
+        |FROM spine s LEFT JOIN hist h
+        |  ON s.media_id = h.media_id AND s.frame_idx = h.frame_idx
+        |  AND s.bin_idx = h.bin_idx""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS chars,
@@ -604,6 +661,8 @@ object Queries {
         |    THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)
         |    ELSE 0.0 END AS punct_ratio
         |FROM documents""".stripMargin,
+    "ann_lsh" -> lshOracle,
+    "ann_ivf" -> ivfOracle,
     "ann_bruteforce" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (
@@ -630,6 +689,88 @@ object Queries {
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.999999""".stripMargin)
+
+  /** SRP-LSH oracle GENERATED from the engine's own deterministic
+    * hyperplanes ([[graft.sim.Ann.planes]] — single source of truth,
+    * inlined as double literals; Scala's shortest-roundtrip Double.toString
+    * parses back to the identical double in DuckDB). Recomputes every
+    * vector's bucket (sign of the same sequential dot product — DuckDB's
+    * list_dot_product matches Spark's fold bitwise, proven by the
+    * ann_bruteforce hash-match), the Hamming≤1 multi-probe candidate set,
+    * and exact cosine sims.
+    */
+  private def lshOracle: String = {
+    val ps = graft.sim.Ann.planes(8, 64)
+    val bucket = ps.zipWithIndex.map { case (w, p) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, v, qv FROM b, q
+       |  WHERE vec_id <> 0
+       |    AND bit_count(xor(CAST(bucket AS BIGINT), CAST(qb AS BIGINT))) <= 1)
+       |SELECT vec_id,
+       |  list_dot_product(v, qv) /
+       |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+       |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** IVF oracle: recomputes the engine's full IVF path in SQL — md5-ordered
+    * seed selection, one Lloyd step with quantized integer-sum means
+    * (bit-identical to [[graft.sim.Ann.ivfCentroids]] because integral
+    * accumulation is order-independent), nearest-cell assignment with the
+    * same (dist, cell) tie-break, the 4 nearest probe cells for vec 0, and
+    * exact cosine sims over the probed members.
+    */
+  private def ivfOracle: String = {
+    val q = graft.sim.Ann.LloydQuant
+    def dist(v: String, c: String) =
+      s"list_sum(list_transform(generate_series(1, len($v)), i -> ($v[i]-$c[i])*($v[i]-$c[i])))"
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |         v AS c
+       |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |a1 AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, s.cell, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${dist("e.v", "s.c")}, s.cell) AS rk
+       |    FROM emb e CROSS JOIN seeds s)
+       |  WHERE rk = 1),
+       |qm AS (
+       |  SELECT cell, pos,
+       |    CAST(sum(floor(x * $q.0)) AS BIGINT) / (count(*) * $q.0) AS m
+       |  FROM (SELECT cell, unnest(v) AS x,
+       |               unnest(generate_series(1, len(v))) AS pos FROM a1)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT sp.cell, list(coalesce(qm.m, sp.sc) ORDER BY sp.pos) AS c
+       |  FROM (SELECT s.cell, g.pos, s.c[g.pos] AS sc
+       |        FROM seeds s, unnest(generate_series(1, len(s.c))) AS g(pos)) sp
+       |  LEFT JOIN qm ON qm.cell = sp.cell AND qm.pos = sp.pos
+       |  GROUP BY sp.cell),
+       |qv AS (SELECT v AS qvec FROM emb WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cell FROM cent, qv
+       |  ORDER BY ${dist("qvec", "c")}, cell LIMIT 4),
+       |a2 AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${dist("e.v", "c.c")}, c.cell) AS rk
+       |    FROM emb e CROSS JOIN cent c)
+       |  WHERE rk = 1)
+       |SELECT m.vec_id,
+       |  list_dot_product(m.v, qv.qvec) /
+       |  (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS sim
+       |FROM a2 m JOIN probe p ON m.cell = p.cell, qv
+       |WHERE m.vec_id <> 0
+       |ORDER BY sim DESC, m.vec_id LIMIT 10""".stripMargin
+  }
 
   /** Lang-ID oracle generated from [[graft.text.TextAnalysis.stopwords]]
     * (single source of truth — the SQL lists can't drift from the engine's).

@@ -108,17 +108,28 @@ object Ann {
       struct(l2Sq(vec, c), lit(i))
     }: _*)).getField("col2")
 
+  /** Quantization denominator for Lloyd means: values are accumulated as
+    * `floor(v * 2^20)` integers so the per-cell mean is order-independent
+    * (bit-identical at any parallelism — and recomputable by any engine
+    * with exact integer sums; ~1e-6 quantization is far below any
+    * clustering-relevant signal).
+    */
+  val LloydQuant: Long = 1L << 20
+
   /** Deterministic IVF centroids: seed with the `nlist` vectors whose ids
-    * hash lowest (a uniform pseudo-random sample, stable across runs and
-    * parallelism), then refine with `iters` Lloyd steps computed as
-    * DataFrame aggregations (posexplode → per-(cell, dim) mean) — one
-    * distributed pass per iteration, centroids live on the driver like any
-    * broadcast dim. Empty cells keep their previous centroid.
+    * sort lowest by `md5(id)` (a uniform pseudo-random sample, stable
+    * across runs, parallelism, and engines — md5 of the decimal id string
+    * is portable SQL, unlike xxhash64), then refine with `iters` Lloyd
+    * steps computed as DataFrame aggregations (posexplode → per-(cell, dim)
+    * quantized mean) — one distributed pass per iteration, centroids live
+    * on the driver like any broadcast dim. Empty cells keep their previous
+    * centroid. The seed scan is a TakeOrdered top-nlist (per-partition
+    * heap), never a global sort.
     */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 1): Array[Array[Double]] = {
     val seeds = emb
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Number](0).map(_.doubleValue).toArray)
@@ -127,7 +138,10 @@ object Ann {
   }
 
   /** One Lloyd refinement pass: assign every vector to its nearest
-    * centroid, return the per-cell per-dimension means.
+    * centroid, return the per-cell per-dimension means. Means are computed
+    * over `floor(v * LloydQuant)` integer sums, so the result does not
+    * depend on float accumulation order (deterministic at any parallelism;
+    * SURVEY.md §7.4.1 numeric discipline).
     */
   private def lloydStep(emb: DataFrame, vecCol: String,
       cents: Array[Array[Double]]): Array[Array[Double]] = {
@@ -140,7 +154,9 @@ object Ann {
       .persist()
     val means = withCell
       .select(col("cell"), posexplode(col("_v")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell", "pos")
+      .agg((sum(floor(col("v").cast("double") * LloydQuant)).cast("long") /
+        (count(lit(1)) * LloydQuant.toDouble)).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("e"))
       .select(col("cell"), expr("transform(e, x -> x.m)").as("c"))
