@@ -90,4 +90,25 @@ object StreamingRollup {
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
+
+  /** PROD-shaped sink: append-mode parquet table + checkpoint. The file
+    * sink's manifest log gives exactly-once output files across restarts;
+    * source offsets and operator state (window aggregates, dedup
+    * fingerprints) live under `checkpointDir`, so a killed run resumed with
+    * the same checkpoint neither loses nor duplicates rows — asserted by
+    * StreamingSpec's kill-and-resume cases. For windowed aggregations
+    * append mode emits each window exactly once, when the watermark passes
+    * its end: the continuous-ingest contract (a finite AvailableNow run
+    * flushes only windows already behind the watermark; later input
+    * advances it). Readers use `spark.read.parquet(path)` — or TableIO —
+    * and see only committed files.
+    */
+  def toParquetSink(df: DataFrame, path: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
 }

@@ -34,6 +34,79 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, want, "stream == batch")
   }
 
+  test("parquet-sink dedup survives a restart: no loss, no duplication, state intact") {
+    val dir = Files.createTempDirectory("graft-restart-dedup").toString
+    def doc(id: Long, text: String, tsOff: Long) = (id, text, tsOff)
+    def writeBatch(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "off")
+        .select($"doc_id", $"text",
+          expr("timestamp_seconds(1700000000 + off)").as("ts"))
+        .write.mode("append").parquet(s"$dir/in")
+
+    writeBatch(Seq(doc(1, "alpha", 0), doc(2, "beta", 5), doc(3, "alpha", 10)))
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runOnce(): Unit = {
+      val q = StreamingRollup.toParquetSink(
+        StreamingRollup.dedupStream(spark, s"$dir/in", schema, "doc_id", "text", "ts"),
+        s"$dir/out", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce() // run 1: alpha kept once, beta kept; then the "job dies"
+
+    // batch 2 lands within the watermark horizon: a cross-restart duplicate
+    // of alpha (must be dropped — state survived) and a new text (kept)
+    writeBatch(Seq(doc(4, "alpha", 30), doc(5, "gamma", 35)))
+    runOnce() // resume from the same checkpoint
+
+    val out = spark.read.parquet(s"$dir/out")
+    // exactly one survivor per distinct text across the restart boundary:
+    // a lost checkpoint would re-emit batch-1 rows (duplication) or keep
+    // doc 4 (state loss); both surface here
+    assert(out.count() == 3, s"expected 3 survivors, got ${out.count()}")
+    assert(out.groupBy("text").count().filter($"count" =!= 1).count() == 0,
+      "some text emitted zero or multiple times across the restart")
+    assert(out.filter($"doc_id" === 4).count() == 0,
+      "cross-restart duplicate not dropped — dedup state lost on restart")
+  }
+
+  test("parquet-sink windowed rollup merges state across a restart (append mode)") {
+    val dir = Files.createTempDirectory("graft-restart-rollup").toString
+    def writeBatch(rows: Seq[(String, Int, Long)]): Unit =
+      rows.toDF("conv_id", "turn_idx", "off")
+        .select($"conv_id", $"turn_idx", lit("user").as("role"),
+          concat(lit("txt-"), $"turn_idx").as("text"),
+          lit(null).cast("string").as("tool"),
+          expr("timestamp_seconds(1700000000 + off)").as("ts"))
+        .write.mode("append").parquet(s"$dir/in")
+
+    // batch 1: two convs in the same minute window; window NOT emitted yet
+    // (watermark can't pass it in a finite run over batch 1 alone)
+    writeBatch(Seq(("c1", 0, 10L), ("c2", 0, 15L)))
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runOnce(): Unit = {
+      val q = StreamingRollup.toParquetSink(
+        StreamingRollup.rollupStream(spark, s"$dir/in", schema, Tier.Minute),
+        s"$dir/out", s"$dir/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce()
+
+    // batch 2: one more c1 turn in the SAME minute (merges into restored
+    // window state) + a sentinel an hour later that pushes the watermark
+    // past every real window so append mode flushes them
+    writeBatch(Seq(("c1", 1, 20L), ("zz-sentinel", 0, 7200L)))
+    runOnce()
+
+    val sentinelBucket = (1700000000L + 7200L) / 60 * 60
+    val got = spark.read.parquet(s"$dir/out").filter($"bucket" < sentinelBucket)
+    val want = Seq(
+      ("c1", 1700000000L / 60 * 60, 2L), // turns from BOTH runs, one window
+      ("c2", 1700000000L / 60 * 60, 1L))
+      .toDF("conv_id", "bucket", "turns")
+    assertSameRows(got.select("conv_id", "bucket", "turns"), want,
+      "windows merged across restart, each emitted exactly once")
+  }
+
   test("streaming dedup drops in-horizon duplicates, keeps one survivor per text") {
     val dir = Files.createTempDirectory("graft-sdedup").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
