@@ -25,17 +25,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles, one row per (id, distinct shingle). Documents
-    * shorter than n words contribute their whole token string.
+  /** Distinct word n-gram array from an ALREADY-MATERIALIZED tokens column.
+    *
+    * The tokens expression must live in its own projection (see the
+    * callers): higher-order functions are interpreted (CodegenFallback)
+    * and do no common-subexpression elimination, so if the tokenizer were
+    * inlined here it would re-run the full regex split once per gram
+    * position — measured 10× slower on the documents corpus. CollapseProject
+    * keeps a multi-referenced non-cheap alias un-inlined, so the two-select
+    * shape is stable. Docs shorter than n words contribute their whole
+    * token string.
     */
-  def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    docs.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+  private def gramArray(t: Column, n: Int): Column = {
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+    array_distinct(grams)
   }
+
+  /** Word n-gram shingles, one row per (id, distinct shingle string) —
+    * the human-readable posting table (diagnostics, hot-shingle reports).
+    */
+  def wordShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("id"), explode(gramArray(col("_t"), n)).as("shingle"))
+
+  /** Hashed posting table: one row per (id, distinct 64-bit shingle id).
+    * The pair joins and MinHash signatures key on the xxhash64 of the
+    * shingle, not the string — long keys shuffle a fraction of the bytes
+    * and compare in one instruction. A cross-doc collision merges two
+    * shingles with probability ~d²/2^65 for d distinct shingles (<1e-9 at
+    * a million shingles), inflating one intersection count by 1 — far
+    * below any dedup threshold's sensitivity; set membership per doc is
+    * unaffected (hashes of an already-distinct gram array).
+    */
+  def shingleIds(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("id"),
+        explode(transform(gramArray(col("_t"), n), g => xxhash64(g))).as("shingle"))
 
   /** Exact pairwise n-gram Jaccard over co-shingled pairs (id_a < id_b,
     * jaccard >= minJaccard). Exact — the small-corpus baseline and the
@@ -43,9 +71,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
-    val sh = wordShingles(docs, idCol, textCol, n).cache()
+    val sh = shingleIds(docs, idCol, textCol, n).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"), "shingle")
+    // a shingle with document frequency 1 can never contribute to a pair:
+    // dropping those postings BEFORE the quadratic self-join shrinks its
+    // input to the (typically small) co-occurring subset without changing
+    // the intersection counts — exactness preserved
+    val coOccurring = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2).select("shingle")
+    val shP = sh.join(coOccurring, Seq("shingle"), "left_semi")
+    val inter = shP.as("x").join(shP.as("y"), "shingle")
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
@@ -98,7 +133,7 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minJaccard: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = wordShingles(docs, idCol, textCol, n).cache()
+    val sh = shingleIds(docs, idCol, textCol, n).cache()
     // hot-shingle set is tiny by definition (few shingles exceed the cap) —
     // broadcast anti-join, no extra shuffle of the posting table
     val shBand =

@@ -341,7 +341,9 @@ object Queries {
   /** Language-ID distribution (heuristic stopword profiles; rows-only). */
   def langIdDist(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))
+      .select(col("text"), graft.text.TextAnalysis.tokens(col("text")).as("_t"))
+      .select(graft.text.TextAnalysis.langIdScored(col("text"), col("_t"))
+        .as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("docs"))
 
   /** Exact cosine top-10 neighbors of vec_id 0 (brute force baseline). */

@@ -45,8 +45,15 @@ object TextAnalysis {
     * profile hits. For zh (no whitespace) the profile hits via substring
     * containment instead of token equality.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdScored(text, tokens(text))
+
+  /** As [[langId]] but over a pre-materialized tokens column: the token
+    * array is referenced once per non-zh profile, and interpreted HOFs do
+    * no common-subexpression elimination — putting `toks` in its own
+    * projection tokenizes once instead of once per language (see the
+    * gramArray note in [[graft.dedup.Dedup]]).
+    */
+  def langIdScored(text: Column, toks: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val score =
         if (lang == "zh")
