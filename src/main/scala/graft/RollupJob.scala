@@ -33,13 +33,6 @@ object RollupJob {
     (r, sec)
   }
 
-  /** Extra per-stage materialization timings (costs extra actions on cached
-    * data — scaling-diagnosis only, off unless GRAFT_PHASE_DEBUG is set).
-    */
-  private val phaseDebug = sys.env.contains("GRAFT_PHASE_DEBUG")
-  private def debugTimed(phase: String)(f: => Long): Unit =
-    if (phaseDebug) { val (n, _) = timed(phase)(f); println(s"[rollup]   ($phase rows: $n)") }
-
   /** wmode-'a' input predicate: `ts >= start of the day after minHw`
     * (pdays are UTC day strings). A plain `>=` on the ts column against a
     * timestamp literal so the scan can prune on min/max stats and partition
@@ -160,19 +153,29 @@ object RollupJob {
     val writeParts = spark.sessionState.conf.numShufflePartitions
     val writeSalt =
       pmod(xxhash64(col("conv_id")), lit(math.max(1, cfg.writeSaltBuckets)))
-    timed("segments pivot+write")(
-      io.write(segsToWrite.repartition(writeParts, col("pday"), writeSalt),
-        segmentsPath, Seq("tier", "pday"), "overwrite"))
-    val segsWritten = Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
-      segsToWrite.select(concat(lit("seg-"), col("tier")).as("tier"), col("pday")),
-      fingerprint)
+    // ---- overlap discipline (the N→4N fixed-tail shave): table WRITES run
+    // in ONE serialized async chain — never two io.write in flight, so the
+    // session-level dynamic-partition-overwrite conf can't race and replay
+    // ordering (data partitions first, lineage append after) is preserved
+    // per table — while the MAIN thread materializes the next stage's cube
+    // into the cache. Every cube/fold compute overlaps the previous write's
+    // commit + listing tail instead of waiting behind it.
+    timed("segments pivot (materialize)")(segsTyped.count())
+    var writeChain: Future[Any] = Future {
+      timed("segments write")(
+        io.write(segsToWrite.repartition(writeParts, col("pday"), writeSalt),
+          segmentsPath, Seq("tier", "pday"), "overwrite"))
+      Checkpoint.commit(spark, io, cfg.outputRoot, cfg.runId,
+        segsToWrite.select(concat(lit("seg-"), col("tier")).as("tier"), col("pday")),
+        fingerprint)
+    }
+    val segsWrittenF = writeChain.asInstanceOf[Future[Long]]
 
     // run stats (inputRows + max event time for retention) from the CACHED
     // segments in ONE fused pass, never the raw table — keeps the job
     // strictly single-raw-scan under every write mode. Submitted as a
-    // CONCURRENT Spark job: the cache is hot after the segments write, the
-    // rollup cascade below is independent, and the scheduler interleaves
-    // this pass into its stage tails (awaited before retention).
+    // CONCURRENT Spark job (reads only the hot cache), awaited before
+    // retention.
     val statsF: Future[(Long, Option[Long])] = Future {
       segsTyped
         .map(s => (s.n.toLong,
@@ -183,15 +186,18 @@ object RollupJob {
     }
 
     // ---- rollup cascade: finest cube decoded from the cached segments,
-    // coarser tiers from the finer cube — raw data is never rescanned ----
+    // coarser tiers from the finer cube — raw data is never rescanned.
+    // Each cube is materialized HERE, on the main thread (overlapping the
+    // in-flight write), so the forked write and the next tier never race
+    // to compute a cold cache twice.
     var finerCube: DataFrame = null
     val cubes = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val reports = sorted.map { tier =>
+    val reportFs = sorted.map { tier =>
       val cube =
         if (finerCube == null) Rollups.cubeFromSegments(segsTyped, tier)
         else Rollups.cascadeCube(finerCube, tier)
       cube.persist()
-      debugTimed(s"cube ${tier.name} materialize")(cube.count())
+      timed(s"cube ${tier.name} materialize")(cube.count())
       cubes += cube
       finerCube = cube
       // streamed fold: cube is (conv_id, bucket)-partitioned, so this is
@@ -216,13 +222,6 @@ object RollupJob {
         case None => points
       }
       val skipped = done.map(_.count()).getOrElse(0L)
-      // single fused pass: fold → pinned repartition → parquet. The points
-      // are NOT cached — lineage counts come from the cached cube below, so
-      // the 1m tier's millions of map-typed rows are materialized exactly
-      // once, inside the write job
-      timed(s"points ${tier.name} write")(
-        io.write(toWrite.repartition(writeParts, col("pday"), writeSalt),
-          pointsPath, Seq("tier", "pday"), "overwrite"))
       // lineage: points-per-pday == distinct (conv_id, bucket) per pday in
       // this tier's cube (points() groups by exactly that key)
       val planned = cube.select("conv_id", "bucket").distinct()
@@ -234,9 +233,21 @@ object RollupJob {
         case Some(d) => planned.join(broadcast(d), Seq("pday"), "left_anti")
         case None => planned
       }
-      val written = Checkpoint.commitCounts(spark, io, cfg.outputRoot,
-        cfg.runId, lineageCounts, fingerprint)
-      TierReport(tier.name, written, skipped)
+      // single fused pass: fold → pinned repartition → parquet. The points
+      // are NOT cached — lineage counts come from the cached cube, so the
+      // 1m tier's millions of map-typed rows are materialized exactly once,
+      // inside the write job. Chained behind the previous write; a failed
+      // write propagates and skips every later one (serial semantics).
+      val f = writeChain.map { _ =>
+        timed(s"points ${tier.name} write")(
+          io.write(toWrite.repartition(writeParts, col("pday"), writeSalt),
+            pointsPath, Seq("tier", "pday"), "overwrite"))
+        val written = Checkpoint.commitCounts(spark, io, cfg.outputRoot,
+          cfg.runId, lineageCounts, fingerprint)
+        TierReport(tier.name, written, skipped)
+      }
+      writeChain = f
+      f
     }
 
     // ---- dimension table (O3, the `once`-file analog): conversation-level
@@ -253,12 +264,16 @@ object RollupJob {
       sum("lenSum").as("text_len_total"),
       min("bucket").as("first_bucket"),
       max("bucket").as("last_bucket"))
-    val dimsF: Future[Unit] = Future {
+    val dimsF = writeChain.map { _ =>
       io.write(dims.repartition(writeParts),
         s"${cfg.outputRoot}/dims", Seq.empty, "overwrite")
     }
+    writeChain = dimsF
 
-    // ---- retention ----
+    // ---- retention: after every points/segments write has landed (the
+    // dims write may still be in flight — different table, no conf overlap)
+    val reports = reportFs.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    val segsWritten = Await.result(segsWrittenF, scala.concurrent.duration.Duration.Inf)
     val (inputRows, maxTsSec) =
       Await.result(statsF, scala.concurrent.duration.Duration.Inf)
     val asOf = asOfSec.orElse(maxTsSec).getOrElse(0L)

@@ -45,8 +45,12 @@ object ParquetTableIO extends TableIO {
     fs.exists(p)
   }
 
+  // Serializes writes that share a session: the dynamic-overwrite conf is
+  // session-scoped, so two in-flight writes could race set/restore and one
+  // would silently run a STATIC overwrite (truncating sibling partitions).
+  // RollupJob already chains its writes; this is defense in depth.
   override def write(df: DataFrame, path: String, partitionCols: Seq[String],
-      mode: String): Unit = {
+      mode: String): Unit = df.sparkSession.synchronized {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     if (mode == "overwrite")
