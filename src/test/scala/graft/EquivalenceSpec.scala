@@ -85,4 +85,27 @@ class EquivalenceSpec extends SparkSpec {
     assert(tsBpp < 4.0, s"ts bytes/point $tsBpp")
     assert(metaBpp < 8.0, s"metadata bytes/point $metaBpp")
   }
+
+  test("compression golden: exact blob bytes on the pinned dense fixture") {
+    // segment_stats has no SQL oracle (blob-byte accounting isn't
+    // SQL-expressible), so this is its correctness anchor: EXACT per-blob
+    // byte totals on a pinned deterministic fixture, verified
+    // parallelism-invariant (same totals at local[4]/16 parts and
+    // local[13]/7 parts when recorded). Any unintended codec change —
+    // bit layout, deflate level, dictionary order, split boundaries —
+    // moves at least one of these numbers.
+    val dense = Synth.turns(spark, nConvs = 3, baseTurns = 4000, hotFactor = 1)
+    val segs = SeriesPivot.segments(dense, Tier.Day, cfg)
+    import org.apache.spark.sql.functions._
+    val r = segs.toDF().agg(
+      sum("n"), count(lit(1)),
+      sum(length(col("tsBlob"))), sum(length(col("idxBlob"))),
+      sum(length(col("roleBlob"))), sum(length(col("toolBlob"))),
+      sum(length(col("textBlob")))).head()
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+    val golden = (9166L, 9L, 10628L, 1941L, 9373L, 9332L, 187989L)
+    assert(got == golden,
+      s"(points, segs, ts, idx, role, tool, text) bytes drifted: $got != $golden")
+  }
 }
