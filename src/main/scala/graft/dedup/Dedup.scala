@@ -210,6 +210,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-duplicate pairs — the cluster-formation
+    * step a dedup pipeline runs AFTER pair generation (keep one survivor
+    * per transitive dup cluster, FineWeb-style). Min-id label propagation:
+    * every node starts labeled with its own id; each round, a node takes
+    * the min of its label and its neighbors' labels (one equi-join + one
+    * groupBy per round); converges in component-diameter rounds. Near-dup
+    * clusters are shallow (dup groups, boilerplate families), so a handful
+    * of rounds suffices even at crawl scale; `maxIter` guards pathological
+    * chains and the loop exits as soon as a round changes nothing. Labels
+    * are cached per round and the previous round unpersisted — at very
+    * deep iteration counts switch the cache to `localCheckpoint` to also
+    * truncate plan lineage.
+    *
+    * Returns (id, cluster) for EVERY id in `nodes` (isolated docs form
+    * singleton clusters; cluster = min doc id of the component, so
+    * survivors are exactly the rows with id == cluster).
+    */
+  def dupComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    // both edge directions from ONE evaluation of the (possibly expensive)
+    // pair pipeline — a union of two selects would compute it twice while
+    // filling the cache
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    // seed labels with min(id, min neighbor) — one aggregation that saves a
+    // full propagation round on the common shallow clusters (dup triangles
+    // converge after a single verify round)
+    val seed = sym.groupBy(col("src").as("id")).agg(min("dst").as("nd"))
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .join(seed, Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nd"), col("id"))).as("cluster"))
+      .cache()
+    var cachedRound = labels // the cached relation backing `labels`
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // one job per round: propagate neighbor minima, keep the old label
+      // alongside, count the decreases off the same cached round result
+      val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("cluster").as("nl"))
+      val round = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
+        .cache()
+      changed = round.filter(col("cluster") < col("old")).count()
+      cachedRound.unpersist() // unpersist the CACHED parent, not a projection
+      cachedRound = round
+      labels = round.select("id", "cluster")
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Exact dedup: survivors = first doc per normalized-content fingerprint
     * (deterministic keep rule: min id).
     */

@@ -330,6 +330,20 @@ object Queries {
       graft.dedup.Dedup.md5TokenHash)
       .withColumn("hamming", col("hamming").cast("long"))
 
+  /** Near-dup cluster formation — the step AFTER pair generation in a real
+    * dedup pipeline: MinHash+LSH pairs at tau=0.8 → connected components
+    * (min-id label propagation) → (doc_id, cluster_id) for every corpus
+    * doc; survivors are the rows with doc_id == cluster_id. The oracle
+    * recomputes the exact transitive closure with a recursive CTE.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = graft.dedup.Dedup.minhashDupPairs(corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16, minJaccard = 0.8)
+    graft.dedup.Dedup.dupComponents(corpus, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
@@ -442,6 +456,7 @@ object Queries {
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
+    "dedup_clusters" -> dedupClusters _,
     "text_quality" -> textQuality _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
@@ -564,6 +579,7 @@ object Queries {
         |FROM corpus GROUP BY text""".stripMargin,
     "dedup_jaccard_pairs" -> jaccardOracle(0.6),
     "dedup_minhash_pairs" -> jaccardOracle(0.8),
+    "dedup_clusters" -> clustersOracle,
     // Recomputes the exact SimHash signatures: same tokenizer, same
     // md5-prefix 60-bit token hash (Dedup.md5TokenHash), same vote/sign
     // rule; pairs via all-pairs xor/bit_count (fine at oracle scale).
@@ -802,12 +818,12 @@ object Queries {
        |FROM scored GROUP BY 1""".stripMargin
   }
 
-  /** Word-3-gram Jaccard pairs over the injected-duplicate corpus — shared
-    * oracle for the exact and the LSH-verified variants (the LSH result
-    * equals the exact result at tau=0.8 on this deterministic corpus).
+  /** Shared CTE chain computing word-3-gram Jaccard pairs at `tau` over
+    * the injected-duplicate corpus — the `jpairs` relation feeds both the
+    * pair oracles and the recursive cluster oracle.
     */
-  private def jaccardOracle(tau: Double): String =
-    s"""WITH corpus AS (
+  private def jaccardCtes(tau: Double): String =
+    s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
@@ -825,8 +841,32 @@ object Queries {
        |sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-       |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
-       |SELECT id_a, id_b, c::DOUBLE / (sa.s + sb.s - c) AS jaccard
-       |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-       |WHERE c::DOUBLE / (sa.s + sb.s - c) >= $tau""".stripMargin
+       |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+       |jpairs AS (
+       |  SELECT id_a, id_b, c::DOUBLE / (sa.s + sb.s - c) AS jaccard
+       |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE c::DOUBLE / (sa.s + sb.s - c) >= $tau)""".stripMargin
+
+  /** Word-3-gram Jaccard pairs over the injected-duplicate corpus — shared
+    * oracle for the exact and the LSH-verified variants (the LSH result
+    * equals the exact result at tau=0.8 on this deterministic corpus).
+    */
+  private def jaccardOracle(tau: Double): String =
+    s"WITH ${jaccardCtes(tau)}\nSELECT id_a, id_b, jaccard FROM jpairs"
+
+  /** Cluster oracle: exact transitive closure of the tau=0.8 near-dup
+    * graph via a recursive CTE — min reachable doc_id per node is the
+    * cluster id, matching the engine's min-id label propagation.
+    */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE ${jaccardCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM jpairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM corpus
+       |  UNION
+       |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.src)
+       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 }

@@ -243,6 +243,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mismatch == 0, "stride-1 frames must partition the payload")
   }
 
+  test("dup components: transitive chains merge, isolated docs stay singleton") {
+    // edges: 1-2, 2-3 (a chain — transitivity required), 5-6; 4 and 7 isolated
+    val nodes = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = graft.dedup.Dedup.dupComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L), s"got $got")
+    // survivors = one per cluster, the min id
+    assert(got.filter { case (id, c) => id == c }.keySet == Set(1L, 4L, 5L, 7L))
+  }
+
   test("multimodal resize average-pools feature bins") {
     val media = Multimodal.mediaFromDocs(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).toDF()
