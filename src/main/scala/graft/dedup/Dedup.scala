@@ -267,6 +267,72 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: flag every corpus doc sharing at least one
+    * word n-gram with any benchmark/eval document (the train-set hygiene
+    * pass an LLM pipeline runs before training — n-gram overlap against
+    * held-out eval suites). Returns (id, hits) for contaminated docs only,
+    * hits = number of DISTINCT overlapping n-grams (shingle sets are
+    * per-doc distinct by construction).
+    *
+    * Scale shape: the benchmark side collapses to its distinct n-gram set —
+    * eval suites are orders of magnitude smaller than a crawl, so the set
+    * is broadcast and the check costs one scan of the corpus grams with a
+    * map-side semi-join (no shuffle of corpus data). Drop the broadcast
+    * hint if the benchmark set outgrows executor memory and AQE picks the
+    * shuffle strategy. Grams compare as 64-bit xxhash64 ids ([[shingleIds]]
+    * collision note applies).
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int): DataFrame = {
+    val docGrams = shingleIds(corpus, idCol, textCol, n)
+    val benchGrams = shingleIds(benchmark, benchIdCol, benchTextCol, n)
+      .select("shingle").distinct()
+    docGrams.join(broadcast(benchGrams), Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+  }
+
+  /** Corpus-wide duplicated-line removal (CCNet/RefinedWeb-style
+    * boilerplate stripping): split every doc into lines, drop each line
+    * whose document frequency (count of DISTINCT docs containing it)
+    * reaches `minDf`, and reassemble the surviving lines in their original
+    * order. Returns one row per input doc:
+    * (id, n_kept, n_dropped, text_clean) — docs whose every line was
+    * boilerplate survive with an empty text_clean.
+    *
+    * Scale shape: two hash aggregates and one anti-join, all keyed on the
+    * 64-bit xxhash64 of the line — the df count and the hot-set join
+    * shuffle longs, not line strings (collision odds as in [[shingleIds]];
+    * a collision here could drop one innocent line). Reassembly is a
+    * per-doc sort of (pos, line) structs inside a single aggregation —
+    * state is bounded by the doc's own size, the same contract as any
+    * collect-per-key pipeline op. Duplicates WITHIN one doc are not
+    * counted toward df and are kept (df is per-doc distinct).
+    */
+  def dropDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf must be >= 2 (1 would drop every line)")
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("lid", xxhash64(col("line")))
+      .cache()
+    val hot = lines.groupBy("lid").agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") >= minDf).select("lid")
+    val rebuilt = lines.join(hot, Seq("lid"), "left_anti")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("text_clean"))
+    docs.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_total"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Exact dedup: survivors = first doc per normalized-content fingerprint
     * (deterministic keep rule: min id).
     */

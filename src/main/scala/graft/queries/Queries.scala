@@ -344,6 +344,53 @@ object Queries {
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Benchmark decontamination: corpus = documents + injected "leaked"
+    * copies (+30000) of the eval slice; benchmark = the doc_id%17==3
+    * slice. Flags every corpus doc sharing a word-5-gram with any
+    * benchmark doc — the injected leaks fully overlap, and the tiny
+    * synthetic vocabulary yields organic collisions too, so both paths
+    * are exercised. Oracle replays the gram join on shingle strings.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 17 === 3)
+    val corpus = docs.unionByName(
+      bench.select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    graft.dedup.Dedup.decontaminate(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), col("hits"))
+  }
+
+  /** Corpus-wide duplicated-line removal over a deterministic "pages"
+    * corpus: every 5 consecutive dup-corpus docs form one multi-line page
+    * wrapped in shared nav/footer boilerplate. Boilerplate (df=all pages)
+    * and the injected exact-copy lines (df=2, original page + copy page)
+    * are dropped; near-copy and unique lines survive; pages reduced to
+    * nothing come back with empty text_clean.
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val pages = dupCorpus(s, dir)
+      .groupBy(floor(col("doc_id") / 5).cast("long").as("page_id"))
+      .agg(concat_ws("\n",
+        lit("NAV HOME PRODUCTS ABOUT"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            r => r.getField("text"))),
+        lit("COPYRIGHT 2026 EXAMPLE CORP")).as("text"))
+    graft.dedup.Dedup.dropDuplicateLines(pages, "page_id", "text", minDf = 2)
+      .select(col("id").as("page_id"), col("n_kept"), col("n_dropped"),
+        col("text_clean"))
+  }
+
+  /** Deterministic salted train/val/test split (80/10/10 per-mille) over
+    * document ids — every row's bucket and split are content-independent
+    * pure functions of (doc_id, salt), so the oracle re-derives all of
+    * them from md5.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.assign(documents(s, dir).select("doc_id"),
+      "doc_id", "split-v1", trainPerMille = 800, valPerMille = 100)
+
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
@@ -457,6 +504,9 @@ object Queries {
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_clusters" -> dedupClusters _,
+    "decontaminate" -> decontaminate _,
+    "line_dedup" -> lineDedup _,
+    "hash_split" -> hashSplit _,
     "text_quality" -> textQuality _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
@@ -580,6 +630,9 @@ object Queries {
     "dedup_jaccard_pairs" -> jaccardOracle(0.6),
     "dedup_minhash_pairs" -> jaccardOracle(0.8),
     "dedup_clusters" -> clustersOracle,
+    "decontaminate" -> decontaminateOracle,
+    "line_dedup" -> lineDedupOracle,
+    "hash_split" -> hashSplitOracle,
     // Recomputes the exact SimHash signatures: same tokenizer, same
     // md5-prefix 60-bit token hash (Dedup.md5TokenHash), same vote/sign
     // rule; pairs via all-pairs xor/bit_count (fine at oracle scale).
@@ -869,4 +922,79 @@ object Queries {
        |  UNION
        |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.src)
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** toks+grams CTE pair over a (doc_id, text) relation `src` — the same
+    * tokenizer/gram rule as [[jaccardCtes]] generalized to any n and
+    * emitted with a `p` prefix so two gram chains can coexist in one query.
+    */
+  private def gramCtes(p: String, src: String, n: Int): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS t
+       |  FROM $src),
+       |${p}grams AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, CASE WHEN len(t) >= $n
+       |      THEN unnest(list_transform(generate_series(1, len(t)-${n - 1}), i -> array_to_string(t[i:i+${n - 1}], ' ')))
+       |      ELSE array_to_string(t, ' ') END AS shingle
+       |    FROM ${p}toks))""".stripMargin
+
+  /** Decontamination oracle: replays the 5-gram semi-join on shingle
+    * STRINGS (the engine joins 64-bit gram hashes — equality proven by the
+    * jaccard oracles' identical gram rule).
+    */
+  private def decontaminateOracle: String =
+    s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 3),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 30000, text FROM bench),
+       |${gramCtes("c", "corpus", 5)},
+       |${gramCtes("b", "bench", 5)},
+       |bset AS (SELECT DISTINCT shingle FROM bgrams)
+       |SELECT c.doc_id, count(*) AS hits
+       |FROM cgrams c JOIN bset USING (shingle) GROUP BY 1""".stripMargin
+
+  /** Line-dedup oracle: rebuilds the same pages corpus, splits on
+    * newlines with ordinality, drops lines whose distinct-page df >= 2,
+    * reassembles in original order.
+    */
+  private def lineDedupOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text || ' zzzuniquetoken' FROM documents WHERE doc_id % 10 = 0),
+       |pages AS (
+       |  SELECT (doc_id // 5)::BIGINT AS page_id,
+       |    'NAV HOME PRODUCTS ABOUT' || chr(10) ||
+       |    string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+       |    'COPYRIGHT 2026 EXAMPLE CORP' AS text
+       |  FROM corpus GROUP BY 1),
+       |lines AS (
+       |  SELECT page_id, unnest(list_transform(generate_series(1, len(l)),
+       |    i -> {'pos': i, 'line': l[i]}), recursive := true)
+       |  FROM (SELECT page_id, string_split(text, chr(10)) AS l FROM pages)),
+       |hot AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT page_id) >= 2),
+       |rebuilt AS (
+       |  SELECT page_id, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS text_clean
+       |  FROM lines ANTI JOIN hot USING (line) GROUP BY 1)
+       |SELECT p.page_id, coalesce(r.n_kept, 0) AS n_kept,
+       |  len(string_split(p.text, chr(10)))::BIGINT - coalesce(r.n_kept, 0) AS n_dropped,
+       |  coalesce(r.text_clean, '') AS text_clean
+       |FROM pages p LEFT JOIN rebuilt r USING (page_id)""".stripMargin
+
+  /** Hash-split oracle: re-derives the salted md5 per-mille bucket for
+    * every doc id (nibble-sum of the first 8 hex chars, the same idiom the
+    * simhash oracle proves against Spark's md5).
+    */
+  private def hashSplitOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, list_sum(list_transform(generate_series(1, 8),
+       |    i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':split-v1'), i, 1)) - 1)::BIGINT << (4*(8-i))))::BIGINT % 1000 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+       |FROM b""".stripMargin
 }

@@ -256,6 +256,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.filter { case (id, c) => id == c }.keySet == Set(1L, 4L, 5L, 7L))
   }
 
+  test("decontaminate flags n-gram overlap with the benchmark set only") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corp = Seq(
+      (1L, "x alpha beta gamma delta epsilon y"), // one 5-gram overlap
+      (2L, "alpha beta gamma delta epsilon zeta"), // full leak: 2 grams
+      (3L, "totally different words here none shared"),
+      (4L, "short")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corp, "doc_id", "text",
+      bench, "doc_id", "text", n = 5).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L), s"got $got")
+  }
+
+  test("line dedup drops corpus-frequent lines, keeps order, empties survive") {
+    val pages = Seq(
+      (1L, "HEADER\nunique one\nshared body\nTAIL"),
+      (2L, "HEADER\nshared body\nunique two\nTAIL"),
+      (3L, "HEADER\nTAIL"), // all lines boilerplate -> empty
+      (4L, "solo page line\nrepeat\nrepeat") // in-doc repeat: df=1, kept
+    ).toDF("page_id", "text")
+    val got = Dedup.dropDuplicateLines(pages, "page_id", "text", minDf = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 3L, "unique one")))
+    assert(got(2L) == ((1L, 3L, "unique two")))
+    assert(got(3L) == ((0L, 2L, "")))
+    assert(got(4L) == ((3L, 0L, "solo page line\nrepeat\nrepeat")))
+  }
+
+  test("hash split is deterministic, salt-keyed, and respects thresholds") {
+    val ids = spark.range(2000).toDF("doc_id")
+    val a = graft.pipeline.Splits.assign(ids, "doc_id", "s1", 800, 100)
+      .select("doc_id", "bucket", "split").as[(Long, Long, String)].collect()
+    assert(a.forall { case (_, b, s) =>
+      b >= 0 && b < 1000 &&
+        s == (if (b < 800) "train" else if (b < 900) "val" else "test")
+    })
+    // stable across recomputation
+    val a2 = graft.pipeline.Splits.assign(ids, "doc_id", "s1", 800, 100)
+      .select("doc_id", "bucket", "split").as[(Long, Long, String)].collect()
+    assert(a.sortBy(_._1).sameElements(a2.sortBy(_._1)))
+    // a different salt re-rolls a substantial fraction
+    val b = graft.pipeline.Splits.assign(ids, "doc_id", "s2", 800, 100)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val moved = a.count { case (id, bk, _) => b(id) != bk }
+    assert(moved > 1000, s"only $moved buckets moved under a new salt")
+    // split sizes near 80/10/10 (binomial tolerance)
+    val frac = a.count(_._3 == "train").toDouble / a.length
+    assert(frac > 0.75 && frac < 0.85, s"train fraction $frac")
+  }
+
   test("multimodal resize average-pools feature bins") {
     val media = Multimodal.mediaFromDocs(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).toDF()
