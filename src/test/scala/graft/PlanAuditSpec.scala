@@ -141,6 +141,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate broadcasts the benchmark gram set (semi-join, no shuffle of corpus grams)") {
+    val p = plan(Queries.decontaminate(spark, sfDir))
+    assert(p.replaceAll("\\s+", " ").contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"), s"expected broadcast left-semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in decontaminate:\n$p")
+  }
+
+  test("hash split is a pure projection — zero exchanges") {
+    val p = plan(Queries.hashSplit(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      s"hash split must not shuffle (content-independent per-row expr):\n$p")
+  }
+
+  test("line dedup anti-joins on the hashed line key, no cartesian") {
+    val p = plan(Queries.lineDedup(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"expected anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in line_dedup:\n$p")
+  }
+
   test("pivot plan is one exchange + in-partition sort (no extra shuffle)") {
     val cfg = RollupConfig("", "")
     val p = plan(pivot.SeriesPivot.segmentsSorted(
