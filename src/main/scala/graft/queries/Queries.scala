@@ -391,6 +391,48 @@ object Queries {
     graft.pipeline.Splits.assign(documents(s, dir).select("doc_id"),
       "doc_id", "split-v1", trainPerMille = 800, valPerMille = 100)
 
+  /** End-to-end curation flagship — the whole pre-training data pipeline
+    * as ONE composed DataFrame program: quality gate (token count) →
+    * language gate → exact dedup (min-id survivor per text) → benchmark
+    * decontamination (drop docs overlapping the eval slice's 5-grams) →
+    * deterministic split assignment. One row per surviving doc. The
+    * oracle replays every stage in SQL.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val bench = docs.filter(col("doc_id") % 17 === 3)
+    val gated = corpus
+      .withColumn("_t", graft.text.TextAnalysis.tokens(col("text")))
+      .withColumn("tokens", size(col("_t")).cast("long"))
+      .filter(col("tokens") >= 30)
+      .filter(graft.text.TextAnalysis.langIdScored(col("text"), col("_t")) === "en")
+      .select("doc_id", "text", "tokens")
+    val deduped = graft.dedup.Dedup.exact(gated, "doc_id", "text")
+    val contaminated = graft.dedup.Dedup.decontaminate(deduped, "doc_id", "text",
+      bench, "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    graft.pipeline.Splits.assign(clean, "doc_id", "curate-v1",
+      trainPerMille = 800, valPerMille = 100)
+      .select("doc_id", "tokens", "split")
+  }
+
+  /** Token-budget sequence packing: docs chunked into ~2048-token bins by
+    * an order-stable prefix sum within parallel id-range shards (exact
+    * greedy packing is sequential; this is the distributed rule — see
+    * [[graft.pipeline.Packing]]).
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"),
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"),
+      floor(col("doc_id") / 100).cast("long").as("shard"))
+    graft.pipeline.Packing.tokenBudgetBins(docs, "doc_id", "tokens",
+      "shard", budget = 2048)
+      .select("doc_id", "shard", "bin", "tokens")
+  }
+
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
@@ -507,6 +549,8 @@ object Queries {
     "decontaminate" -> decontaminate _,
     "line_dedup" -> lineDedup _,
     "hash_split" -> hashSplit _,
+    "curate" -> curate _,
+    "pack_sequences" -> packSequences _,
     "text_quality" -> textQuality _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
@@ -633,6 +677,8 @@ object Queries {
     "decontaminate" -> decontaminateOracle,
     "line_dedup" -> lineDedupOracle,
     "hash_split" -> hashSplitOracle,
+    "curate" -> curateOracle,
+    "pack_sequences" -> packSequencesOracle,
     // Recomputes the exact SimHash signatures: same tokenizer, same
     // md5-prefix 60-bit token hash (Dedup.md5TokenHash), same vote/sign
     // rule; pairs via all-pairs xor/bit_count (fine at oracle scale).
@@ -849,7 +895,23 @@ object Queries {
     * scores (zh via raw-text containment), argmax with lang-ascending
     * tie-break (struct sort), 'und' when no profile hits.
     */
-  private def langIdOracle: String = {
+  private def langIdOracle: String =
+    s"""WITH t AS (
+       |  SELECT text,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT $langBestSql AS best
+       |  FROM t)
+       |SELECT $langPredSql AS lang_pred,
+       |  count(*) AS docs
+       |FROM scored GROUP BY 1""".stripMargin
+
+  /** `(list_sort([...]))[-1]` argmax over the per-language stopword-hit
+    * scores — expects columns `text` and `toks` in scope (shared by the
+    * lang-ID and curate oracles).
+    */
+  private def langBestSql: String = {
     val entries = graft.text.TextAnalysis.stopwords.toSeq.sortBy(_._1).map {
       case ("zh", words) =>
         val score = words.map(w => s"contains(text, '$w')::INT").mkString(" + ")
@@ -858,18 +920,11 @@ object Queries {
         val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
         s"{'score': CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS INT), 'lang': '$lang'}"
     }
-    s"""WITH t AS (
-       |  SELECT text,
-       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS toks
-       |  FROM documents),
-       |scored AS (
-       |  SELECT (list_sort([${entries.mkString(",\n    ")}]))[-1] AS best
-       |  FROM t)
-       |SELECT CASE WHEN struct_extract(best, 'score') > 0
-       |  THEN struct_extract(best, 'lang') ELSE 'und' END AS lang_pred,
-       |  count(*) AS docs
-       |FROM scored GROUP BY 1""".stripMargin
+    s"(list_sort([${entries.mkString(",\n    ")}]))[-1]"
   }
+
+  private def langPredSql: String =
+    "CASE WHEN struct_extract(best, 'score') > 0 THEN struct_extract(best, 'lang') ELSE 'und' END"
 
   /** Shared CTE chain computing word-3-gram Jaccard pairs at `tau` over
     * the injected-duplicate corpus — the `jpairs` relation feeds both the
@@ -989,12 +1044,65 @@ object Queries {
     * every doc id (nibble-sum of the first 8 hex chars, the same idiom the
     * simhash oracle proves against Spark's md5).
     */
+  /** Salted md5 per-mille bucket of an id expression — the SQL twin of
+    * [[graft.pipeline.Splits.bucket]] (nibble-sum of the first 8 hex
+    * chars, the idiom the simhash oracle proves against Spark's md5).
+    */
+  private def md5BucketSql(idExpr: String, salt: String): String =
+    s"list_sum(list_transform(generate_series(1, 8), i -> (strpos('0123456789abcdef', substr(md5($idExpr::VARCHAR || ':$salt'), i, 1)) - 1)::BIGINT << (4*(8-i))))::BIGINT % 1000"
+
   private def hashSplitOracle: String =
     s"""WITH b AS (
-       |  SELECT doc_id, list_sum(list_transform(generate_series(1, 8),
-       |    i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR || ':split-v1'), i, 1)) - 1)::BIGINT << (4*(8-i))))::BIGINT % 1000 AS bucket
+       |  SELECT doc_id, ${md5BucketSql("doc_id", "split-v1")} AS bucket
        |  FROM documents)
        |SELECT doc_id, bucket,
        |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
        |FROM b""".stripMargin
+
+  /** Curate oracle: replays the full curation pipeline — token gate,
+    * stopword-argmax language gate, min-id exact dedup, 5-gram
+    * decontamination vs the eval slice, salted split assignment.
+    */
+  private def curateOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+       |t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS toks
+       |  FROM corpus),
+       |scored AS (
+       |  SELECT doc_id, text, len(toks)::BIGINT AS tokens, $langBestSql AS best
+       |  FROM t WHERE len(toks) >= 30),
+       |gated AS (
+       |  SELECT doc_id, text, tokens FROM scored WHERE $langPredSql = 'en'),
+       |ded AS (
+       |  SELECT min(doc_id) AS doc_id, min(tokens) AS tokens, text
+       |  FROM gated GROUP BY text),
+       |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 3),
+       |${gramCtes("c", "ded", 5)},
+       |${gramCtes("b", "bench", 5)},
+       |bset AS (SELECT DISTINCT shingle FROM bgrams),
+       |bad AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bset USING (shingle)),
+       |clean AS (
+       |  SELECT d.doc_id, d.tokens, ${md5BucketSql("d.doc_id", "curate-v1")} AS bucket
+       |  FROM ded d ANTI JOIN bad USING (doc_id))
+       |SELECT doc_id, tokens,
+       |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+       |FROM clean""".stripMargin
+
+  /** Packing oracle: same shard/prefix-sum/floor rule as the engine's
+    * window expression.
+    */
+  private def packSequencesOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, (doc_id // 100)::BIGINT AS shard,
+       |    len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0))::BIGINT AS tokens
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  (coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048)::BIGINT AS bin,
+       |  tokens
+       |FROM t""".stripMargin
 }

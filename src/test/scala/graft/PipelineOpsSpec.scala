@@ -306,6 +306,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frac > 0.75 && frac < 0.85, s"train fraction $frac")
   }
 
+  test("token-budget packing: prefix-sum bins, per-shard independence") {
+    val docs = Seq(
+      (1L, 0L, 600L), (2L, 0L, 600L), (3L, 0L, 600L), (4L, 0L, 600L),
+      (10L, 1L, 2000L), (11L, 1L, 100L), (12L, 1L, 5000L), (13L, 1L, 10L)
+    ).toDF("doc_id", "shard", "tokens")
+    val got = graft.pipeline.Packing
+      .tokenBudgetBins(docs, "doc_id", "tokens", "shard", budget = 1024)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // shard 0: prefix-before 0,600,1200,1800 -> bins 0,0,1,1
+    // shard 1: prefix-before 0,2000,2100,7100 -> bins 0,1,2,6 (restarts per shard)
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 6L), s"got $got")
+  }
+
   test("multimodal resize average-pools feature bins") {
     val media = Multimodal.mediaFromDocs(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).toDF()

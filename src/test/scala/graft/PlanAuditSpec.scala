@@ -160,6 +160,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in line_dedup:\n$p")
   }
 
+  test("pack_sequences windows per shard — never a single-partition global sort") {
+    val p = plan(Queries.packSequences(spark, sfDir))
+    assert(!p.contains("SinglePartition"),
+      s"global window would serialize the corpus through one partition:\n$p")
+  }
+
+  test("curate pipeline composes without a cartesian product") {
+    val p = plan(Queries.curate(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in curate:\n$p")
+    assert(p.contains("LeftAnti"), s"expected decontamination anti-join:\n$p")
+  }
+
   test("pivot plan is one exchange + in-partition sort (no extra shuffle)") {
     val cfg = RollupConfig("", "")
     val p = plan(pivot.SeriesPivot.segmentsSorted(
