@@ -219,9 +219,13 @@ object Dedup {
     * clusters are shallow (dup groups, boilerplate families), so a handful
     * of rounds suffices even at crawl scale; `maxIter` guards pathological
     * chains and the loop exits as soon as a round changes nothing. Labels
-    * are cached per round and the previous round unpersisted — at very
-    * deep iteration counts switch the cache to `localCheckpoint` to also
-    * truncate plan lineage.
+    * are materialized per round with `localCheckpoint`, which truncates
+    * the plan lineage — labels feed two joins per round, so a cache-only
+    * loop doubles the logical plan every iteration and a deep component
+    * chain blows the driver up building plan strings long before any
+    * executor works hard. Checkpoint-per-round keeps the plan O(1) at any
+    * diameter (the standard Spark iterative-algorithm pattern; executor
+    * loss during the transient loop costs a job retry, nothing durable).
     *
     * Returns (id, cluster) for EVERY id in `nodes` (isolated docs form
     * singleton clusters; cluster = min doc id of the component, so
@@ -244,22 +248,20 @@ object Dedup {
     var labels = nodes.select(col(idCol).as("id")).distinct()
       .join(seed, Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("nd"), col("id"))).as("cluster"))
-      .cache()
-    var cachedRound = labels // the cached relation backing `labels`
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // one job per round: propagate neighbor minima, keep the old label
-      // alongside, count the decreases off the same cached round result
+      // per round: propagate neighbor minima, keep the old label alongside,
+      // materialize (truncating lineage), count decreases off the
+      // materialized result
       val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("cluster").as("nl"))
       val round = labels.join(prop, Seq("id"), "left")
         .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint()
       changed = round.filter(col("cluster") < col("old")).count()
-      cachedRound.unpersist() // unpersist the CACHED parent, not a projection
-      cachedRound = round
       labels = round.select("id", "cluster")
       i += 1
     }

@@ -320,6 +320,37 @@ class PipelineOpsSpec extends SparkSpec {
       10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 6L), s"got $got")
   }
 
+  test("dup components match a reference union-find on random graphs") {
+    val rng = new scala.util.Random(4242)
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (trial <- 1 to 8) {
+      val n = 10 + rng.nextInt(30)
+      val nEdges = rng.nextInt(n)
+      val edges = Seq.fill(nEdges) {
+        val a = rng.nextInt(n); val b = rng.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.dupComponents(nodes, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, edges), s"trial $trial n=$n edges=$edges")
+    }
+    // a 12-node chain: diameter 11 forces many propagation rounds
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val got = Dedup.dupComponents((0L to 11L).toDF("doc_id"), "doc_id",
+      chain.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L) && got.size == 12)
+  }
+
   test("multimodal resize average-pools feature bins") {
     val media = Multimodal.mediaFromDocs(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).toDF()
