@@ -65,6 +65,14 @@ object Dedup {
       .select(col("id"),
         explode(transform(gramArray(col("_t"), n), g => xxhash64(g))).as("shingle"))
 
+  /** Per-row 64-bit gram-id array from an ALREADY-MATERIALIZED tokens
+    * column — the array flavor of [[shingleIds]] for membership checks
+    * that must stay row-local (e.g. streaming ingest gates, where the
+    * zero-matches-per-doc test can't be a stream-static anti-join).
+    */
+  def gramIdArray(tokens: Column, n: Int): Column =
+    transform(gramArray(tokens, n), g => xxhash64(g))
+
   /** Exact pairwise n-gram Jaccard over co-shingled pairs (id_a < id_b,
     * jaccard >= minJaccard). Exact — the small-corpus baseline and the
     * verifier behind LSH.

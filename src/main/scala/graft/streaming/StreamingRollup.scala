@@ -70,6 +70,48 @@ object StreamingRollup {
       .drop("_fp", "_fp2")
   }
 
+  /** Ingest-time curation: the batch `curate` gates applied as the docs
+    * stream in. Quality gate (token count), language gate, and salted
+    * split assignment are pure Column expressions — stateless, they
+    * compose on a stream unchanged. Decontamination is the one stage that
+    * can't stay declarative on a stream: "this doc shares NO gram with
+    * the benchmark" needs a per-doc aggregate over join matches, which a
+    * stream-static anti-join can't express without stateful aggregation.
+    * The benchmark gram set is small by the same assumption the batch
+    * path broadcasts it under (eval suites vs a crawl), so it is
+    * collected once at stream construction and shipped as a broadcast
+    * set; a scalar predicate checks each doc's gram-id array against it
+    * executor-side (the standard Bloom/set ingest-gate design — and the
+    * one documented UDF in the engine, justified because no built-in can
+    * consult a broadcast collection per row). Chain [[dedupStream]]
+    * upstream for within-horizon exact dedup.
+    */
+  def curateStream(spark: SparkSession, inputDir: String, schema: StructType,
+      idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 5, minTokens: Int = 30, lang: String = "en",
+      salt: String = "curate-v1"): DataFrame = {
+    import graft.text.TextAnalysis
+    val benchIds = graft.dedup.Dedup
+      .shingleIds(bench, benchIdCol, benchTextCol, n)
+      .select("shingle").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bset = spark.sparkContext.broadcast(benchIds)
+    val contaminated = udf((grams: Seq[Long]) =>
+      grams != null && grams.exists(bset.value.contains))
+    val gated = spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withColumn("_t", TextAnalysis.tokens(col(textCol)))
+      .withColumn("tokens", size(col("_t")).cast("long"))
+      .filter(col("tokens") >= minTokens)
+      .filter(TextAnalysis.langIdScored(col(textCol), col("_t")) === lang)
+      .filter(!contaminated(graft.dedup.Dedup.gramIdArray(col("_t"), n)))
+      .drop("_t")
+    graft.pipeline.Splits.assign(gated, idCol, salt,
+      trainPerMille = 800, valPerMille = 100)
+  }
+
   /** Write the stream to an in-memory table (tests/demos) or extend with a
     * parquet/Iceberg sink in prod. Complete mode here because a finite
     * AvailableNow run never advances the watermark past the final windows

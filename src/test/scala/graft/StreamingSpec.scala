@@ -132,4 +132,36 @@ class StreamingSpec extends SparkSpec {
     // exactly one row per text, never zero or two
     assert(got.groupBy("text").count().filter($"count" =!= 1).count() == 0)
   }
+
+  test("streaming curation applies the batch gates at ingest") {
+    val dir = Files.createTempDirectory("graft-stream-curate").toString
+    val en = "the model was trained on the data and it is the case that " +
+      "they have a result for this run and that it was not a surprise " +
+      "to them at all in the end"
+    val benchText = "the secret benchmark question about the seven golden owls"
+    val docs = Seq(
+      (1L, en), // kept: English, >=30 tokens, clean
+      (2L, "too short to pass the gate"), // dropped: quality
+      (3L, "uno dos tres quatro cinco seis siete ocho nueve diez " * 4), // dropped: not 'en'
+      (4L, en + " " + benchText) // dropped: contaminated (bench 5-grams)
+    ).toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/in")
+    val bench = Seq((99L, benchText)).toDF("doc_id", "text")
+
+    val stream = StreamingRollup.curateStream(spark, s"$dir/in",
+      docs.schema, "doc_id", "text", bench, "doc_id", "text")
+    val q = StreamingRollup.toAppendMemorySink(stream, "stream_curate")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.awaitTermination()
+
+    val got = spark.table("stream_curate")
+      .select("doc_id", "tokens", "bucket", "split")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.map(_._1).toSet == Set(1L), s"got ${got.toSeq}")
+    // split parity with the deterministic batch assignment
+    val batch = graft.pipeline.Splits
+      .assign(Seq(1L).toDF("doc_id"), "doc_id", "curate-v1", 800, 100)
+      .select("bucket", "split").as[(Long, String)].head()
+    assert(got.head._3 == batch._1 && got.head._4 == batch._2)
+  }
 }
