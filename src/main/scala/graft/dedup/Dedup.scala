@@ -65,6 +65,23 @@ object Dedup {
       .select(col("id"),
         explode(transform(gramArray(col("_t"), n), g => xxhash64(g))).as("shingle"))
 
+  /** Gopher-style intra-doc repetition signal: how much of a doc is
+    * repeats of its own earlier word n-grams (boilerplate loops, model
+    * babble, keyword stuffing). rep_ratio = 1 - distinct/total n-grams;
+    * 0 means no repetition. Pure per-row Column expressions — one scan,
+    * no shuffle, codegen'd (the gram positions are interpreted-HOF but
+    * operate on the single materialized tokens array).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("id"),
+        when(size(col("_t")) >= n, size(col("_t")) - (n - 1))
+          .otherwise(lit(1)).cast("long").as("total_grams"),
+        size(gramArray(col("_t"), n)).cast("long").as("distinct_grams"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
+
   /** Per-row 64-bit gram-id array from an ALREADY-MATERIALIZED tokens
     * column — the array flavor of [[shingleIds]] for membership checks
     * that must stay row-local (e.g. streaming ingest gates, where the
@@ -310,23 +327,33 @@ object Dedup {
     * (id, n_kept, n_dropped, text_clean) — docs whose every line was
     * boilerplate survive with an empty text_clean.
     *
-    * Scale shape: two hash aggregates and one anti-join, all keyed on the
-    * 64-bit xxhash64 of the line — the df count and the hot-set join
-    * shuffle longs, not line strings (collision odds as in [[shingleIds]];
-    * a collision here could drop one innocent line). Reassembly is a
-    * per-doc sort of (pos, line) structs inside a single aggregation —
-    * state is bounded by the doc's own size, the same contract as any
-    * collect-per-key pipeline op. Duplicates WITHIN one doc are not
-    * counted toward df and are kept (df is per-doc distinct).
+    * Scale shape: the df count and the hot-set join key on the 64-bit
+    * xxhash64 of the line — they shuffle longs, not line strings
+    * (collision odds as in [[shingleIds]]; a collision here could drop
+    * one innocent line). The df count itself is skew-proof by
+    * construction: a universal boilerplate line (a nav header present in
+    * EVERY doc of a crawl) would funnel one reducer with a
+    * `count_distinct` per line key, so instead the count runs as
+    * distinct (line, doc) pairs — shuffled on the PAIR, which a hot line
+    * cannot skew — then salted partial counts per (line, doc-hash bucket)
+    * summed per line: identical result (doc-hash buckets partition docs
+    * disjointly), every stage bounded. Reassembly is a per-doc sort of
+    * (pos, line) structs inside a single aggregation — state is bounded
+    * by the doc's own size, the same contract as any collect-per-key
+    * pipeline op. Duplicates WITHIN one doc are not counted toward df
+    * and are kept (df is per-doc distinct).
     */
   def dropDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
-      minDf: Int): DataFrame = {
+      minDf: Int, dfSalt: Int = 16): DataFrame = {
     require(minDf >= 2, s"minDf=$minDf must be >= 2 (1 would drop every line)")
     val lines = docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
       .withColumn("lid", xxhash64(col("line")))
       .cache()
-    val hot = lines.groupBy("lid").agg(count_distinct(col("id")).as("df"))
+    val hot = lines.select("lid", "id").distinct()
+      .groupBy(col("lid"), pmod(xxhash64(col("id")), lit(dfSalt)).as("_s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("lid").agg(sum("c").as("df"))
       .filter(col("df") >= minDf).select("lid")
     val rebuilt = lines.join(hot, Seq("lid"), "left_anti")
       .groupBy("id").agg(

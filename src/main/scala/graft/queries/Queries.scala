@@ -433,6 +433,12 @@ object Queries {
       .select("doc_id", "shard", "bin", "tokens")
   }
 
+  /** Intra-doc word-2-gram repetition (Gopher-style quality signal). */
+  def docRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.repetitionStats(documents(s, dir), "doc_id", "text", n = 2)
+      .select(col("id").as("doc_id"), col("total_grams"),
+        col("distinct_grams"), col("rep_ratio"))
+
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
@@ -551,6 +557,7 @@ object Queries {
     "hash_split" -> hashSplit _,
     "curate" -> curate _,
     "pack_sequences" -> packSequences _,
+    "doc_repetition" -> docRepetition _,
     "text_quality" -> textQuality _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
@@ -679,6 +686,21 @@ object Queries {
     "hash_split" -> hashSplitOracle,
     "curate" -> curateOracle,
     "pack_sequences" -> packSequencesOracle,
+    "doc_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 1 END)::BIGINT AS total_grams,
+         |    (CASE WHEN len(t) >= 2
+         |      THEN len(list_distinct(list_transform(generate_series(1, len(t)-1), i -> array_to_string(t[i:i+1], ' '))))
+         |      ELSE 1 END)::BIGINT AS distinct_grams
+         |  FROM t)
+         |SELECT doc_id, total_grams, distinct_grams,
+         |  1.0 - distinct_grams::DOUBLE / total_grams AS rep_ratio
+         |FROM g""".stripMargin,
     // Recomputes the exact SimHash signatures: same tokenizer, same
     // md5-prefix 60-bit token hash (Dedup.md5TokenHash), same vote/sign
     // rule; pairs via all-pairs xor/bit_count (fine at oracle scale).
