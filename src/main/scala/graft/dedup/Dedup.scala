@@ -374,8 +374,13 @@ object Dedup {
     * (deterministic keep rule: min id).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    // survivor = min id per fingerprint, as an aggregate + semi-join rather
+    // than a row_number window: the window routes EVERY copy of a hot text
+    // (a viral page duplicated across a crawl) through one task, while the
+    // min aggregate combines map-side partials and the (fp, id) semi-join
+    // is an AQE-balanced equi-join — same result, no skew funnel
+    val withFp = docs.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    val keep = withFp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    withFp.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
   }
 }

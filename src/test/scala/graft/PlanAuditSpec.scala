@@ -160,6 +160,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in line_dedup:\n$p")
   }
 
+  test("exact dedup never plans a per-fingerprint window (hot-text skew funnel)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.dedup.Dedup.exact(docs, "doc_id", "text"))
+    assert(!p.contains("Window"),
+      s"row_number-per-fingerprint serializes hot texts through one task:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"expected map-side partial min aggregate:\n$p")
+  }
+
   test("pack_sequences windows per shard — never a single-partition global sort") {
     val p = plan(Queries.packSequences(spark, sfDir))
     assert(!p.contains("SinglePartition"),
