@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
