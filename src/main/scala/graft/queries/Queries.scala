@@ -952,13 +952,20 @@ object Queries {
     * the injected-duplicate corpus — the `jpairs` relation feeds both the
     * pair oracles and the recursive cluster oracle.
     */
+  /** SQL twin of [[dupCorpus]] (originals + exact copies + near-copies).
+    * A `def`, not a `val`: the oracle map initializes earlier in the
+    * object, and a forward-referenced val is still null there.
+    */
+  private def dupCorpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text || ' zzzuniquetoken' FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
   private def jaccardCtes(tau: Double): String =
-    s"""corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
-       |  UNION ALL
-       |  SELECT doc_id + 20000, text || ' zzzuniquetoken' FROM documents WHERE doc_id % 10 = 0),
+    s"""$dupCorpusCte,
        |toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS t
        |  FROM corpus),
@@ -1036,12 +1043,7 @@ object Queries {
     * reassembles in original order.
     */
   private def lineDedupOracle: String =
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
-       |  UNION ALL
-       |  SELECT doc_id + 20000, text || ' zzzuniquetoken' FROM documents WHERE doc_id % 10 = 0),
+    s"""WITH $dupCorpusCte,
        |pages AS (
        |  SELECT (doc_id // 5)::BIGINT AS page_id,
        |    'NAV HOME PRODUCTS ABOUT' || chr(10) ||
