@@ -351,6 +351,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L) && got.size == 12)
   }
 
+  test("line dedup matches a reference implementation on random corpora") {
+    val rng = new scala.util.Random(777)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "nav", "footer")
+    def randLine() = Seq.fill(1 + rng.nextInt(3))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 5) {
+      val docs = (1L to (3 + rng.nextInt(6)).toLong).map { id =>
+        (id, Seq.fill(1 + rng.nextInt(5))(randLine()).mkString("\n"))
+      }
+      // reference: df = distinct docs per line; keep lines with df < 2
+      val df = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val want = docs.map { case (id, t) =>
+        val kept = t.split("\n", -1).filter(l => df(l) < 2)
+        (id, kept.length.toLong, (t.split("\n", -1).length - kept.length).toLong,
+          kept.mkString("\n"))
+      }.toSet
+      val got = Dedup.dropDuplicateLines(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minDf = 2)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == want, s"trial $trial docs=$docs")
+    }
+  }
+
   test("multimodal resize average-pools feature bins") {
     val media = Multimodal.mediaFromDocs(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).toDF()
