@@ -67,6 +67,13 @@ object RollupJob {
     // than trusting spark-defaults.
     spark.conf.set(
       "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
+    // CORRECTNESS PIN: pdays are UTC day strings by contract, but
+    // date_format renders in the session time zone — and the wmode-'a'
+    // high-water predicate compares ts against UTC day boundaries. In a
+    // non-UTC session the two would disagree and an append run could
+    // silently prune rows whose pday is not yet committed. Pin the zone so
+    // every caller gets the contract, not just the spark-submit main.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val pointsPath = s"${cfg.outputRoot}/points"
     val segmentsPath = s"${cfg.outputRoot}/segments"
 

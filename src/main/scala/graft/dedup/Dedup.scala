@@ -257,6 +257,7 @@ object Dedup {
     */
   def dupComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, s"maxIter=$maxIter must be positive")
     // both edge directions from ONE evaluation of the (possibly expensive)
     // pair pipeline — a union of two selects would compute it twice while
     // filling the cache
@@ -290,6 +291,13 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    // fail loudly rather than return split components: downstream survivor
+    // rules (keep id == cluster) would silently keep several duplicates of
+    // one unconverged component
+    require(changed == 0,
+      s"dupComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter for graphs with " +
+        "component diameter > maxIter")
     labels
   }
 
@@ -360,8 +368,10 @@ object Dedup {
         concat_ws("\n",
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             s => s.getField("line"))).as("text_clean"))
-    docs.select(col(idCol).as("id"),
-        size(split(col(textCol), "\n", -1)).cast("long").as("n_total"))
+    // per-doc line totals come from the already-cached lines relation
+    // (posexplode emits >=1 row per doc, so every id is present) — reading
+    // `docs` again here would re-run the whole upstream plan a second time
+    lines.groupBy("id").agg(count(lit(1)).as("n_total"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -380,6 +390,12 @@ object Dedup {
     // is an AQE-balanced equi-join — same result, no skew funnel
     val withFp = docs.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
     val keep = withFp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
-    withFp.join(keep, Seq("_fp", idCol), "left_semi").drop("_fp")
+    withFp.join(keep, Seq("_fp", idCol), "left_semi")
+      // physically duplicated input rows (same id, same text — a shard
+      // ingested twice) all match the (fp, min-id) semi-join; collapse to
+      // one survivor like the contract says. Keyed on fp with first()
+      // partials — map-side combine absorbs even a massively re-ingested row
+      .dropDuplicates("_fp")
+      .drop("_fp")
   }
 }

@@ -18,6 +18,19 @@ class JobFeaturesSpec extends SparkSpec {
     p
   }
 
+  test("run() pins the session time zone to the UTC pday contract") {
+    // pdays are UTC day strings and the wmode-'a' high-water predicate
+    // compares ts against UTC day boundaries — a caller embedding run() in
+    // a non-UTC session must not silently get disagreeing day math
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val out = s"$tmp/tzpin"
+      RollupJob.run(spark, RollupConfig(inputPath, out, writeMode = "o",
+        runId = "tz-1"))
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("dims table: one row per conversation with exact totals") {
     val out = s"$tmp/dims"
     RollupJob.run(spark, RollupConfig(inputPath, out, runId = "r"))

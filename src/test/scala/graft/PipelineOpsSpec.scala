@@ -374,6 +374,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("exact dedup collapses physically duplicated rows to one survivor") {
+    val docs = Seq((1L, "same text"), (1L, "same text"), (2L, "same text"),
+      (3L, "other text")).toDF("doc_id", "text")
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .as[(Long, String)].collect().sorted
+    assert(kept.toSeq == Seq((1L, "same text"), (3L, "other text")), s"got ${kept.toSeq}")
+  }
+
+  test("dup components fail loudly when maxIter is too small to converge") {
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 11L).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupComponents(nodes, "doc_id", chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("multimodal resize average-pools feature bins") {
     val media = Multimodal.mediaFromDocs(docs.limit(20), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).toDF()
