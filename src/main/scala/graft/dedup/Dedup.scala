@@ -119,6 +119,14 @@ object Dedup {
 
   /** MinHash signatures: k independent hash families via seeded xxhash64;
     * one groupBy with k MIN aggregates (map-side partials, no UDAF).
+    *
+    * Measured alternative (rejected): computing signatures per-row with
+    * k × `array_min(transform(grams, xxhash64(seed_i, _)))` avoids the
+    * posting shuffle entirely but ran ~40% slower warm at sf0.1 — the k
+    * interpreted higher-order passes (CodegenFallback, no codegen) cost
+    * more than the shuffle they save; the k MIN aggregates here stay
+    * inside whole-stage codegen with map-side partial combine. Revisit on
+    * a network-shuffle cluster where the trade may flip.
     */
   def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
