@@ -433,6 +433,24 @@ object Queries {
       .select("doc_id", "shard", "bin", "tokens")
   }
 
+  /** As-of join (J4): every event attached to the latest state snapshot
+    * at-or-before its timestamp per user (snapshots = every 5th event,
+    * deduped per (user, ts) by max event_id). Union-and-fill composition —
+    * one window pass, no range-join blowup; the oracle is DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val quotes = ev.filter(col("event_id") % 5 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("qid"), col("m.value").as("qvalue"))
+    graft.rollup.AsOf.joinAsOf(ev.select("event_id", "user_id", "ts"),
+      quotes, "user_id", "ts", Seq("qid", "qvalue"))
+      .select("event_id", "user_id", "asof_qid", "asof_qvalue")
+  }
+
   /** Intra-doc word-2-gram repetition (Gopher-style quality signal). */
   def docRepetition(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.repetitionStats(documents(s, dir), "doc_id", "text", n = 2)
@@ -558,6 +576,7 @@ object Queries {
     "curate" -> curate _,
     "pack_sequences" -> packSequences _,
     "doc_repetition" -> docRepetition _,
+    "asof_join" -> asofJoin _,
     "text_quality" -> textQuality _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
@@ -681,6 +700,13 @@ object Queries {
     "dedup_jaccard_pairs" -> jaccardOracle(0.6),
     "dedup_minhash_pairs" -> jaccardOracle(0.8),
     "dedup_clusters" -> clustersOracle,
+    "asof_join" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, max(event_id) AS qid, arg_max(value, event_id) AS qvalue
+        |  FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, q.qid AS asof_qid, q.qvalue AS asof_qvalue
+        |FROM events e ASOF LEFT JOIN quotes q
+        |  ON e.user_id = q.user_id AND e.ts >= q.ts""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     "line_dedup" -> lineDedupOracle,
     "hash_split" -> hashSplitOracle,

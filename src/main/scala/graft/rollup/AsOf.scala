@@ -1,0 +1,64 @@
+package graft.rollup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — SURVEY.md §2 J4, the one operator row
+  * deferred out of round-1 scope: attach to every left row the LATEST
+  * right row with `right.ts <= left.ts` for the same key (events joined
+  * to the state snapshot in force at their time).
+  *
+  * Spark has no ASOF JOIN operator, and the naive range join
+  * (`l.ts >= r.ts` + window-max per left row) degenerates to a per-key
+  * cartesian. The scalable composition (brief's preference (a): compose
+  * existing ops) is the union-and-fill pattern:
+  *
+  *   1. union right rows (payload, marker 1) and left rows (payload null,
+  *      marker 0) on (key, ts);
+  *   2. one window per key ordered by (ts, marker DESC) — marker DESC puts
+  *      a same-timestamp right row BEFORE the left rows it must be visible
+  *      to, giving `<=` semantics exactly;
+  *   3. `last(payload, ignoreNulls)` over unbounded-preceding rows carries
+  *      the latest snapshot forward; keep the left rows.
+  *
+  * One shuffle + one in-partition sort over |left| + |right| rows — no
+  * row-pair blowup, AQE-balanced across keys. A single pathological key
+  * (one user holding a whole partition's events) serializes that key's
+  * window task — the same bound as any per-key ordered computation; chunk
+  * such keys upstream if they exist.
+  *
+  * `right` must be unique per (key, ts) — pre-aggregate ties (e.g.
+  * `max_by` on a sequence column) or results would depend on row order;
+  * the left row count is always preserved (left-outer semantics: rows
+  * before any snapshot get nulls).
+  */
+object AsOf {
+
+  /** Left-outer as-of join: every `left` row plus `rightCols` of the
+    * latest `right` row with `right.ts <= left.ts` on `key`, each
+    * renamed with `prefix` (null when no snapshot precedes).
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name at least one payload column")
+    import org.apache.spark.sql.types.StructType
+    val qType = new StructType(
+      rightCols.map(c => right.schema(c).copy(nullable = true)).toArray)
+    val lType = new StructType(left.schema.fields.map(_.copy(nullable = true)))
+    val r2 = right.select(col(key).as("_k"), col(ts).as("_ts"),
+      lit(1).as("_isq"), struct(rightCols.map(col): _*).as("_q"),
+      lit(null).cast(lType).as("_l"))
+    val l2 = left.select(col(key).as("_k"), col(ts).as("_ts"),
+      lit(0).as("_isq"), lit(null).cast(qType).as("_q"),
+      struct(left.columns.map(col): _*).as("_l"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts").asc, col("_isq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("_last", last(col("_q"), ignoreNulls = true).over(w))
+      .filter(col("_isq") === 0)
+      .select(col("_l.*") +: rightCols.map(c =>
+        col(s"_last.$c").as(prefix + c)): _*)
+  }
+}

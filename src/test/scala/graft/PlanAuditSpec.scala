@@ -169,6 +169,19 @@ class PlanAuditSpec extends SparkSpec {
       s"expected map-side partial min aggregate:\n$p")
   }
 
+  test("as-of join is one exchange + per-key window — no range-join blowup") {
+    val l = spark.range(100).selectExpr("id % 7 as k", "timestamp_seconds(id) as ts", "id as eid")
+    val r = spark.range(20).selectExpr("id % 7 as k", "timestamp_seconds(id * 5) as ts", "id as qid")
+    val p = plan(graft.rollup.AsOf.joinAsOf(l, r, "k", "ts", Seq("qid")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"as-of must not range-join:\n$p")
+    // count operator detail headers "(N) Exchange" so the tree line and its
+    // detail section aren't double-counted
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("SinglePartition"), s"global window in as-of:\n$p")
+  }
+
   test("pack_sequences windows per shard — never a single-partition global sort") {
     val p = plan(Queries.packSequences(spark, sfDir))
     assert(!p.contains("SinglePartition"),

@@ -78,6 +78,22 @@ class RollupGoldenSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("as-of join: latest at-or-before snapshot per key, nulls before first") {
+    import org.apache.spark.sql.functions._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val quotes = Seq(("a", t(10), 1L, 10.0), ("a", t(20), 2L, 20.0))
+      .toDF("k", "ts", "qid", "qv")
+    val evs = Seq(("a", t(5), 100L), ("a", t(10), 101L), ("a", t(15), 102L),
+      ("a", t(25), 103L), ("b", t(50), 200L)).toDF("k", "ts", "eid")
+    val got = graft.rollup.AsOf.joinAsOf(evs, quotes, "k", "ts", Seq("qid", "qv"))
+      .select("eid", "asof_qid").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(100L -> None, 101L -> Some(1L), 102L -> Some(1L),
+      103L -> Some(2L), 200L -> None), s"got $got")
+    // left-outer: row count preserved
+    assert(graft.rollup.AsOf.joinAsOf(evs, quotes, "k", "ts", Seq("qid"))
+      .count() == evs.count())
+  }
+
   test("gap-fill: spine complete, originals untouched, interpolation exact") {
     val points = Rollups.points(Rollups.cube(turns, Tier.Minute), "1m").cache()
     val filled = GapFill.fillPoints(points, Tier.Minute).cache()
