@@ -451,6 +451,23 @@ object Queries {
       .select("event_id", "user_id", "asof_qid", "asof_qvalue")
   }
 
+  /** Interval (range) join — J4's second leg: every event joined back to
+    * the session interval containing it via the bucketed equi-join
+    * composition (no cartesian). Sessions are >30-min-gap separated, so
+    * each event matches exactly its own session and the row count equals
+    * the events count — a sharp oracle.
+    */
+  def intervalJoinSessions(s: SparkSession, dir: String): DataFrame = {
+    val iv = sessionize(s, dir).select(col("user_id"), col("sess"),
+      unix_timestamp(col("session_start")).as("start_sec"),
+      (unix_timestamp(col("session_start")) + col("duration_sec")).as("end_sec"))
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("ts_sec"))
+    graft.rollup.AsOf.intervalJoin(ev, iv, "user_id", "ts_sec",
+      "start_sec", "end_sec", bucketSec = 3600)
+      .select("event_id", "user_id", "sess", "ts_sec")
+  }
+
   /** Intra-doc word-2-gram repetition (Gopher-style quality signal). */
   def docRepetition(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.repetitionStats(documents(s, dir), "doc_id", "text", n = 2)
@@ -577,6 +594,7 @@ object Queries {
     "pack_sequences" -> packSequences _,
     "doc_repetition" -> docRepetition _,
     "asof_join" -> asofJoin _,
+    "interval_join_sessions" -> intervalJoinSessions _,
     "text_quality" -> textQuality _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
@@ -707,6 +725,24 @@ object Queries {
         |SELECT e.event_id, e.user_id, q.qid AS asof_qid, q.qvalue AS asof_qvalue
         |FROM events e ASOF LEFT JOIN quotes q
         |  ON e.user_id = q.user_id AND e.ts >= q.ts""".stripMargin,
+    "interval_join_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts)//1000000 AS ts_sec,
+        |    epoch_us(ts)//1000000 - lag(epoch_us(ts)//1000000) OVER w AS gap
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_sec,
+        |    CAST(sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM g),
+        |iv AS (
+        |  SELECT user_id, sess, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+        |  FROM s GROUP BY 1, 2),
+        |ev AS (SELECT event_id, user_id, epoch_us(ts)//1000000 AS ts_sec FROM events)
+        |SELECT e.event_id, e.user_id, i.sess, e.ts_sec
+        |FROM ev e JOIN iv i ON e.user_id = i.user_id
+        |  AND e.ts_sec >= i.start_sec AND e.ts_sec <= i.end_sec""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     "line_dedup" -> lineDedupOracle,
     "hash_split" -> hashSplitOracle,

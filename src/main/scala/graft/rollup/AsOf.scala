@@ -61,4 +61,32 @@ object AsOf {
       .select(col("_l.*") +: rightCols.map(c =>
         col(s"_last.$c").as(prefix + c)): _*)
   }
+
+  /** Interval (range-containment) join: one output row per (point,
+    * interval) pair with the same key and `startSec <= tsSec <= endSec`
+    * (inclusive bounds, epoch-second columns). The J4 "range join" leg.
+    *
+    * A raw range predicate would plan a per-key cartesian. The scalable
+    * composition buckets time: each interval is exploded to the coarse
+    * buckets it covers (`sequence` — intervals are short relative to the
+    * bucket in a sessionized workload, so the fan-out is small and
+    * executor-side), points carry their single bucket, and the match is a
+    * plain (key, bucket) equi-join + exact containment filter. A
+    * (point, interval) pair can only meet in the point's own bucket, so
+    * no dedup is needed. Pick `bucketSec` near the typical interval
+    * length: larger buckets mean fewer interval copies but more
+    * false-candidate pairs for the filter.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, key: String,
+      tsSec: String, startSec: String, endSec: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec=$bucketSec must be positive")
+    val iv = intervals.withColumn("_b",
+      explode(sequence(floor(col(startSec) / bucketSec),
+        floor(col(endSec) / bucketSec))))
+    val pt = points.withColumn("_b", floor(col(tsSec) / bucketSec))
+    pt.join(iv, pt(key) === iv(key) && pt("_b") === iv("_b"))
+      .filter(pt(tsSec) >= iv(startSec) && pt(tsSec) <= iv(endSec))
+      .drop(iv(key)).drop(pt("_b")).drop(iv("_b"))
+  }
 }

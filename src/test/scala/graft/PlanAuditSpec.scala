@@ -182,6 +182,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global window in as-of:\n$p")
   }
 
+  test("interval join composes as a bucketed equi-join — no cartesian") {
+    val p = plan(Queries.intervalJoinSessions(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range predicate must not plan a product join:\n$p")
+  }
+
   test("pack_sequences windows per shard — never a single-partition global sort") {
     val p = plan(Queries.packSequences(spark, sfDir))
     assert(!p.contains("SinglePartition"),

@@ -94,6 +94,26 @@ class RollupGoldenSpec extends SparkSpec {
       .count() == evs.count())
   }
 
+  test("interval join: exact containment, overlaps multiply, bucket spans work") {
+    val pts = Seq((1L, 5L, 10L), (1L, 250L, 11L), (2L, 50L, 12L))
+      .toDF("k", "ts_sec", "pid")
+    val ivs = Seq((1L, 0L, 100L, 20L), (1L, 240L, 260L, 21L),
+      (1L, 4L, 6L, 22L), (2L, 500L, 600L, 23L))
+      .toDF("k", "start_sec", "end_sec", "iid")
+    val got = graft.rollup.AsOf.intervalJoin(pts, ivs, "k", "ts_sec",
+      "start_sec", "end_sec", bucketSec = 100)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // pid 10 sits in two overlapping intervals; pid 11 in a bucket-spanning
+    // one; pid 12 matches nothing (inner-join semantics)
+    assert(got == Set((10L, 20L), (10L, 22L), (11L, 21L)), s"got $got")
+    // boundary inclusivity: a point exactly at an interval end matches
+    val boundary = graft.rollup.AsOf.intervalJoin(
+      Seq((1L, 100L, 30L)).toDF("k", "ts_sec", "pid"), ivs,
+      "k", "ts_sec", "start_sec", "end_sec", 100)
+      .select("iid").as[Long].collect().toSeq
+    assert(boundary == Seq(20L))
+  }
+
   test("gap-fill: spine complete, originals untouched, interpolation exact") {
     val points = Rollups.points(Rollups.cube(turns, Tier.Minute), "1m").cache()
     val filled = GapFill.fillPoints(points, Tier.Minute).cache()
