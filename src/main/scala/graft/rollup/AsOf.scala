@@ -35,31 +35,49 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  private val Reserved = Seq("_k", "_ts", "_isq", "_q", "_l", "_last")
+
   /** Left-outer as-of join: every `left` row plus `rightCols` of the
     * latest `right` row with `right.ts <= left.ts` on `key`, each
-    * renamed with `prefix` (null when no snapshot precedes).
+    * renamed with `prefix` (null when no snapshot precedes). Right rows
+    * with a null key or null ts match nothing (DuckDB ASOF semantics);
+    * left rows are always preserved. Column names listed in [[Reserved]]
+    * and prefixed output names must be free in the inputs (checked).
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must name at least one payload column")
+    val clash = (left.columns ++ right.columns).filter(Reserved.contains)
+    require(clash.isEmpty, s"inputs use reserved column names: ${clash.mkString(",")}")
+    val outClash = left.columns.filter(c =>
+      c != key && c != ts && rightCols.map(prefix + _).contains(c))
+    require(outClash.isEmpty,
+      s"left columns collide with prefixed output names: ${outClash.mkString(",")}")
     import org.apache.spark.sql.types.StructType
+    // key and ts ride ONCE, as the top-level _k/_ts sort columns — only the
+    // remaining left columns struct into the carried row
+    val rest = left.columns.filterNot(c => c == key || c == ts).toSeq
     val qType = new StructType(
       rightCols.map(c => right.schema(c).copy(nullable = true)).toArray)
-    val lType = new StructType(left.schema.fields.map(_.copy(nullable = true)))
-    val r2 = right.select(col(key).as("_k"), col(ts).as("_ts"),
-      lit(1).as("_isq"), struct(rightCols.map(col): _*).as("_q"),
-      lit(null).cast(lType).as("_l"))
+    val lType = new StructType(
+      rest.map(c => left.schema(c).copy(nullable = true)).toArray)
+    val r2 = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key).as("_k"), col(ts).as("_ts"),
+        lit(1).as("_isq"), struct(rightCols.map(col): _*).as("_q"),
+        lit(null).cast(lType).as("_l"))
     val l2 = left.select(col(key).as("_k"), col(ts).as("_ts"),
       lit(0).as("_isq"), lit(null).cast(qType).as("_q"),
-      struct(left.columns.map(col): _*).as("_l"))
+      struct(rest.map(col): _*).as("_l"))
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts").asc, col("_isq").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .withColumn("_last", last(col("_q"), ignoreNulls = true).over(w))
       .filter(col("_isq") === 0)
-      .select(col("_l.*") +: rightCols.map(c =>
-        col(s"_last.$c").as(prefix + c)): _*)
+      .select(Seq(col("_k").as(key), col("_ts").as(ts)) ++
+        rest.map(c => col(s"_l.$c").as(c)) ++
+        rightCols.map(c => col(s"_last.$c").as(prefix + c)): _*)
   }
 
   /** Interval (range-containment) join: one output row per (point,
@@ -81,9 +99,19 @@ object AsOf {
       tsSec: String, startSec: String, endSec: String,
       bucketSec: Long): DataFrame = {
     require(bucketSec > 0, s"bucketSec=$bucketSec must be positive")
-    val iv = intervals.withColumn("_b",
-      explode(sequence(floor(col(startSec) / bucketSec),
-        floor(col(endSec) / bucketSec))))
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet) - key
+    require(shared.isEmpty,
+      s"points and intervals share non-key columns (rename them): ${shared.mkString(",")}")
+    require(!points.columns.contains("_b") && !intervals.columns.contains("_b"),
+      "column name _b is reserved by intervalJoin")
+    val iv = intervals
+      // an inverted interval (corrupt row) would make sequence() count
+      // DOWNWARD and explode |start-end|/bucket rows before the containment
+      // filter rejects them all — drop it up front instead
+      .filter(col(endSec) >= col(startSec))
+      .withColumn("_b",
+        explode(sequence(floor(col(startSec) / bucketSec),
+          floor(col(endSec) / bucketSec))))
     val pt = points.withColumn("_b", floor(col(tsSec) / bucketSec))
     pt.join(iv, pt(key) === iv(key) && pt("_b") === iv("_b"))
       .filter(pt(tsSec) >= iv(startSec) && pt(tsSec) <= iv(endSec))

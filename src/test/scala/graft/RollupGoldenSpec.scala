@@ -89,9 +89,17 @@ class RollupGoldenSpec extends SparkSpec {
       .select("eid", "asof_qid").as[(Long, Option[Long])].collect().toMap
     assert(got == Map(100L -> None, 101L -> Some(1L), 102L -> Some(1L),
       103L -> Some(2L), 200L -> None), s"got $got")
-    // left-outer: row count preserved
+    // left-outer: row count preserved — also exercises a left frame with
+    // ONLY (key, ts) columns besides the id (empty carried-struct path)
     assert(graft.rollup.AsOf.joinAsOf(evs, quotes, "k", "ts", Seq("qid"))
       .count() == evs.count())
+    // a null-ts snapshot must match nothing (DuckDB ASOF semantics), not
+    // sort nulls-first and fill every row
+    val nullQuote = Seq(("a", Option.empty[java.sql.Timestamp], 9L, 9.0))
+      .toDF("k", "ts", "qid", "qv")
+    val gotN = graft.rollup.AsOf.joinAsOf(evs, nullQuote, "k", "ts", Seq("qid"))
+      .select("eid", "asof_qid").as[(Long, Option[Long])].collect().toMap
+    assert(gotN.values.forall(_.isEmpty), s"null-ts snapshot leaked: $gotN")
   }
 
   test("interval join: exact containment, overlaps multiply, bucket spans work") {
@@ -103,8 +111,9 @@ class RollupGoldenSpec extends SparkSpec {
     val got = graft.rollup.AsOf.intervalJoin(pts, ivs, "k", "ts_sec",
       "start_sec", "end_sec", bucketSec = 100)
       .select("pid", "iid").as[(Long, Long)].collect().toSet
-    // pid 10 sits in two overlapping intervals; pid 11 in a bucket-spanning
-    // one; pid 12 matches nothing (inner-join semantics)
+    // pid 10 sits in two overlapping intervals; pid 12 matches nothing
+    // (inner-join semantics); the multi-bucket interval coverage is the
+    // boundary check below (interval 0-100 spans buckets 0 and 1)
     assert(got == Set((10L, 20L), (10L, 22L), (11L, 21L)), s"got $got")
     // boundary inclusivity: a point exactly at an interval end matches
     val boundary = graft.rollup.AsOf.intervalJoin(
@@ -112,6 +121,14 @@ class RollupGoldenSpec extends SparkSpec {
       "k", "ts_sec", "start_sec", "end_sec", 100)
       .select("iid").as[Long].collect().toSeq
     assert(boundary == Seq(20L))
+    // an inverted (corrupt) interval is dropped up front, not exploded
+    // into |start-end|/bucket rows
+    val inverted = ivs.unionByName(
+      Seq((1L, 1000000L, 0L, 99L)).toDF("k", "start_sec", "end_sec", "iid"))
+    val got2 = graft.rollup.AsOf.intervalJoin(pts, inverted, "k", "ts_sec",
+      "start_sec", "end_sec", 100).select("pid", "iid")
+      .as[(Long, Long)].collect().toSet
+    assert(got2 == got)
   }
 
   test("gap-fill: spine complete, originals untouched, interpolation exact") {
