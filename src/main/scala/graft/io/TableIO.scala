@@ -31,12 +31,19 @@ trait TableIO {
   def dropPartitions(spark: SparkSession, path: String, predicate: String): Unit
 }
 
-object ParquetTableIO extends TableIO {
+/** File-format-backed TableIO: everything except the format tag is shared —
+  * partitioned layout, dynamic partition overwrite, partition-directory
+  * drops. Two live impls ([[ParquetTableIO]], [[OrcTableIO]]) prove the
+  * connector seam is real: `RollupJob.run(io = OrcTableIO)` runs the whole
+  * pipeline unchanged on a different columnar store (JobFeaturesSpec
+  * asserts identical outputs).
+  */
+sealed class FileTableIO(format: String) extends TableIO {
   override def read(spark: SparkSession, path: String): DataFrame = {
     // partition values stay strings: tier names like "1d" would otherwise be
     // type-INFERRED as Double 1.0 ("1d" is a valid Java double literal)
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.read.parquet(path)
+    spark.read.format(format).load(path)
   }
 
   override def exists(spark: SparkSession, path: String): Boolean = {
@@ -63,7 +70,7 @@ object ParquetTableIO extends TableIO {
         case other => sys.error(s"unsupported write mode: $other")
       })
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(path)
+        .format(format).save(path)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -106,3 +113,8 @@ object ParquetTableIO extends TableIO {
     levels(p, Nil)
   }
 }
+
+object ParquetTableIO extends FileTableIO("parquet")
+
+/** Second columnar impl (no extra jars — ORC ships with Spark). */
+object OrcTableIO extends FileTableIO("orc")

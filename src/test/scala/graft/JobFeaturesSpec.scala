@@ -31,6 +31,31 @@ class JobFeaturesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("connector seam: the whole job runs on ORC and matches parquet output") {
+    import graft.io.OrcTableIO
+    val pOut = s"$tmp/io-parquet"
+    val oOut = s"$tmp/io-orc"
+    // end-to-end ORC: the connector reads the input too, so give it an ORC
+    // copy of the same table
+    val orcIn = s"$tmp/input-orc"
+    spark.read.parquet(inputPath).write.orc(orcIn)
+    RollupJob.run(spark, RollupConfig(inputPath, pOut, writeMode = "o",
+      runId = "io-p"))
+    RollupJob.run(spark, RollupConfig(orcIn, oOut, writeMode = "o",
+      runId = "io-o"), io = OrcTableIO)
+    // the orc table is really orc
+    val orcFiles = new java.io.File(s"$oOut/points").listFiles()
+    assert(orcFiles != null && orcFiles.nonEmpty)
+    // identical rolled-up points through either connector
+    val p = ParquetTableIO.read(spark, s"$pOut/points")
+      .selectExpr("tier", "conv_id", "bucket", "turns",
+        "array_sort(map_entries(byRole)) AS br")
+    val o = OrcTableIO.read(spark, s"$oOut/points")
+      .selectExpr("tier", "conv_id", "bucket", "turns",
+        "array_sort(map_entries(byRole)) AS br")
+    assertSameRows(p, o, "parquet vs orc points")
+  }
+
   test("dims table: one row per conversation with exact totals") {
     val out = s"$tmp/dims"
     RollupJob.run(spark, RollupConfig(inputPath, out, runId = "r"))
