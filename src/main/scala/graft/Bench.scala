@@ -23,8 +23,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up read failed (continuing): ${e.getMessage}")
     }
-    // a failing query records its error instead of posing as a fast run
+    // a failing query records its error instead of posing as a fast run.
+    // clearCache before each timer: several dedup operators cache a posting
+    // relation the returned plan still references (see graft.dedup.Dedup
+    // cache contract) — without the sweep those blocks accumulate across
+    // the 39-query session and later queries pay eviction/GC pressure that
+    // belongs to no query (the round-3 bench-tail pollution amplifier)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

@@ -291,6 +291,9 @@ object RollupJob {
     Await.result(dimsF, scala.concurrent.duration.Duration.Inf)
     segsTyped.unpersist()
     cubes.foreach(_.unpersist())
+    // tiny control-plane table, but a long-lived session running many
+    // resume jobs would still accumulate one pinned copy per run
+    if (resume) committed.unpersist()
     Checkpoint.recordMetrics(spark, io, cfg.outputRoot, cfg.runId, "run",
       Map("input_rows" -> inputRows.toDouble,
         "segments_written" -> segsWritten.toDouble) ++

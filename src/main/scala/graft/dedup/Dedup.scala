@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   * `maxShingleDf`: shingles above the document-frequency cap are dropped
   * from signature/banding but KEPT in verification, so the verified Jaccard
   * is unbiased while one hot shingle can no longer explode a posting join.
+  *
+  * ==Cache contract==
+  * [[jaccardPairs]], [[minhashDupPairs]] and [[dropDuplicateLines]] `cache()`
+  * one intermediate relation (the posting/line table) because the returned
+  * plan consumes it from several branches — without the cache the upstream
+  * scan+shingle pipeline would run 3–4×. The RETURNED DataFrame still
+  * references that cache, so the operator cannot unpersist it itself; the
+  * blocks are released when the result's plan is garbage-collected
+  * (Spark's ContextCleaner) or when the caller runs
+  * `spark.catalog.clearCache()` after consuming the result. A long-lived
+  * session running many operators back-to-back should do the latter —
+  * `graft.Bench` does, between every query. [[dupComponents]] frees each
+  * superseded per-round checkpoint itself and leaves only the final labels
+  * materialization pinned (O(#docs) rows), under the same GC/clearCache
+  * release rule.
   */
 object Dedup {
 
@@ -267,16 +282,24 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"maxIter=$maxIter must be positive")
     // both edge directions from ONE evaluation of the (possibly expensive)
-    // pair pipeline — a union of two selects would compute it twice while
-    // filling the cache
+    // pair pipeline — a union of two selects would compute it twice.
+    // localCheckpoint, not cache(): a cache keeps the full pair-pipeline
+    // LOGICAL plan alive, and every seed/round action would re-analyze and
+    // re-optimize that big tree (measured ~1.5 s of pure planning per job
+    // at sf0.1 — dominating the tiny-data rounds); the checkpoint truncates
+    // lineage so every loop job plans against a flat LogicalRDD. Freed at
+    // the end — no round output references sym past its own checkpoint.
     val sym = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
+      .localCheckpoint()
     // seed labels with min(id, min neighbor) — one aggregation that saves a
     // full propagation round on the common shallow clusters (dup triangles
-    // converge after a single verify round)
+    // converge after a single verify round). The seed checkpoint stays
+    // EAGER on purpose: a lazy seed would let round 1's two independent
+    // label branches race its un-materialized work in concurrent stages,
+    // computing it twice
     val seed = sym.groupBy(col("src").as("id")).agg(min("dst").as("nd"))
     var labels = nodes.select(col(idCol).as("id")).distinct()
       .join(seed, Seq("id"), "left")
@@ -286,19 +309,28 @@ object Dedup {
     var i = 0
     while (changed > 0 && i < maxIter) {
       // per round: propagate neighbor minima, keep the old label alongside,
-      // materialize (truncating lineage), count decreases off the
-      // materialized result
+      // and fold checkpoint materialization into the convergence count —
+      // the LAZY localCheckpoint persists its partitions as the count job
+      // computes them, so each round costs exactly ONE Spark job (the
+      // eager-checkpoint-then-count shape paid two, pure fixed overhead at
+      // small data). Lineage still truncates: labels feeds two joins per
+      // round, and a cache-only loop doubles the logical plan every
+      // iteration — a deep chain OOMs the driver building plan strings.
       val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("cluster").as("nl"))
       val round = labels.join(prop, Seq("id"), "left")
         .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = round.filter(col("cluster") < col("old")).count()
+      // the superseded round's blocks are dead the moment `round` is
+      // materialized — free them now instead of leaking one O(#docs)
+      // checkpoint per round for the life of the session
+      freeLocalCheckpoint(labels)
       labels = round.select("id", "cluster")
       i += 1
     }
-    sym.unpersist()
+    freeLocalCheckpoint(sym)
     // fail loudly rather than return split components: downstream survivor
     // rules (keep id == cluster) would silently keep several duplicates of
     // one unconverged component
@@ -308,6 +340,19 @@ object Dedup {
         "component diameter > maxIter")
     labels
   }
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * DataFrame (or one derived from it by projections). `Dataset.unpersist`
+    * only talks to the SQL cache manager and never touches RDD-level
+    * checkpoint blocks, so the loop above would otherwise pin one
+    * O(#docs) copy of the labels per round until session GC.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Benchmark decontamination: flag every corpus doc sharing at least one
     * word n-gram with any benchmark/eval document (the train-set hygiene
@@ -391,6 +436,10 @@ object Dedup {
     * (deterministic keep rule: min id).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // reserved working column — without this guard an input that already
+    // carries `_fp` would be silently overwritten and then dropped
+    require(!docs.columns.contains("_fp"),
+      "column name _fp is reserved by Dedup.exact (rename the input column)")
     // survivor = min id per fingerprint, as an aggregate + semi-join rather
     // than a row_number window: the window routes EVERY copy of a hot text
     // (a viral page duplicated across a crawl) through one task, while the

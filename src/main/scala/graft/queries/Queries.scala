@@ -400,8 +400,22 @@ object Queries {
     */
   def curate(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select("doc_id", "text")
-    val corpus = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    // duplicates of two kinds: exact copies (+10000) AND normalization
+    // variants (+20000: common ASCII letters upper-cased via translate,
+    // whitespace padded/doubled) — the latter are equal only under the
+    // fingerprint normalization (lower + whitespace collapse), so a
+    // regression in the dedup key breaks the oracle match here instead of
+    // passing silently on exact-copy luck. translate over ASCII (not
+    // upper()) keeps the transform byte-identical between Spark and
+    // DuckDB on any input alphabet
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          translate(
+            concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit("  ")),
+            "etaoins", "ETAOINS").as("text")))
     val bench = docs.filter(col("doc_id") % 17 === 3)
     val gated = corpus
       .withColumn("_t", graft.text.TextAnalysis.tokens(col("text")))
@@ -473,6 +487,44 @@ object Queries {
     graft.dedup.Dedup.repetitionStats(documents(s, dir), "doc_id", "text", n = 2)
       .select(col("id").as("doc_id"), col("total_grams"),
         col("distinct_grams"), col("rep_ratio"))
+
+  /** Deterministic weighted domain mixing: four synthetic domains carved
+    * from doc_id, mixed at web ×0.6 / code ×1.0 / books ×2.5 / junk ×0 —
+    * exercising down-sampling, pass-through, fractional up-sampling, and
+    * domain drop in one query. Pure projection + executor-side explode
+    * (zero exchanges, plan-audited); the oracle re-derives every copy from
+    * md5.
+    */
+  def datasetMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"),
+      element_at(array(lit("web"), lit("code"), lit("books"), lit("junk")),
+        (col("doc_id") % 4 + 1).cast("int")).as("domain"))
+    graft.pipeline.Mixing.sampleWeighted(docs, "doc_id", "domain",
+      Map("web" -> 600, "code" -> 1000, "books" -> 2500, "junk" -> 0),
+      salt = "mix-v1")
+      .select(col("doc_id"), col("domain"), col("copy").cast("long").as("copy"))
+  }
+
+  /** Per-doc top-3 TF-IDF keywords (linear idf = N/df so scores are exact
+    * IEEE divisions — see [[graft.text.Tfidf]]); the corpus-size count is
+    * the one control-plane action (the catalog-stats analog).
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val n = docs.count()
+    graft.text.Tfidf.topTerms(docs, "doc_id", "text", nDocs = n, k = 3)
+      .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+        col("tf_idf"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Global boilerplate report: top-20 word-3-grams by document frequency
+    * (df >= 2, ties broken by shingle) — the report that sizes
+    * `Dedup.minhashDupPairs(maxShingleDf)`. TakeOrderedAndProject top-k,
+    * never a global sort (plan-audited).
+    */
+  def hotNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.text.Tfidf.hotNgrams(documents(s, dir), "doc_id", "text",
+      n = 3, minDf = 2, k = 20)
 
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -593,6 +645,9 @@ object Queries {
     "curate" -> curate _,
     "pack_sequences" -> packSequences _,
     "doc_repetition" -> docRepetition _,
+    "dataset_mix" -> datasetMix _,
+    "tfidf_top_terms" -> tfidfTopTerms _,
+    "hot_ngrams" -> hotNgrams _,
     "asof_join" -> asofJoin _,
     "interval_join_sessions" -> intervalJoinSessions _,
     "text_quality" -> textQuality _,
@@ -748,6 +803,9 @@ object Queries {
     "hash_split" -> hashSplitOracle,
     "curate" -> curateOracle,
     "pack_sequences" -> packSequencesOracle,
+    "dataset_mix" -> datasetMixOracle,
+    "tfidf_top_terms" -> tfidfOracle,
+    "hot_ngrams" -> hotNgramsOracle,
     "doc_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -1146,14 +1204,21 @@ object Queries {
        |FROM b""".stripMargin
 
   /** Curate oracle: replays the full curation pipeline — token gate,
-    * stopword-argmax language gate, min-id exact dedup, 5-gram
-    * decontamination vs the eval slice, salted split assignment.
+    * stopword-argmax language gate, min-id exact dedup on the NORMALIZED
+    * fingerprint key (lower + trim + whitespace collapse, mirroring
+    * `TextAnalysis.fingerprint`'s input — the +20000 corpus variants are
+    * duplicates only under that normalization), 5-gram decontamination vs
+    * the eval slice, salted split assignment.
     */
   private def curateOracle: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000,
+       |    translate(' ' || replace(text, ' ', '  ') || '  ', 'etaoins', 'ETAOINS')
+       |  FROM documents WHERE doc_id % 10 = 5),
        |t AS (
        |  SELECT doc_id, text,
        |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS toks
@@ -1164,8 +1229,10 @@ object Queries {
        |gated AS (
        |  SELECT doc_id, text, tokens FROM scored WHERE $langPredSql = 'en'),
        |ded AS (
-       |  SELECT min(doc_id) AS doc_id, min(tokens) AS tokens, text
-       |  FROM gated GROUP BY text),
+       |  SELECT min(doc_id) AS doc_id, min_by(tokens, doc_id) AS tokens,
+       |    min_by(text, doc_id) AS text
+       |  FROM gated
+       |  GROUP BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 3),
        |${gramCtes("c", "ded", 5)},
        |${gramCtes("b", "bench", 5)},
@@ -1177,6 +1244,58 @@ object Queries {
        |SELECT doc_id, tokens,
        |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
        |FROM clean""".stripMargin
+
+  /** Mixing oracle: re-derives every kept copy — domain from doc_id, rate
+    * from the mixture config, copies = rate/1000 (+1 iff the salted md5
+    * bucket falls under the fractional part), one row per copy index.
+    */
+  private def datasetMixOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    (['web', 'code', 'books', 'junk'])[(doc_id % 4 + 1)::INT] AS domain
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, domain,
+       |    CASE domain WHEN 'web' THEN 600 WHEN 'code' THEN 1000
+       |      WHEN 'books' THEN 2500 WHEN 'junk' THEN 0 ELSE 1000 END AS rate,
+       |    ${md5BucketSql("doc_id", "mix-v1")} AS bucket
+       |  FROM d),
+       |n AS (
+       |  SELECT doc_id, domain,
+       |    rate // 1000 + CASE WHEN bucket < rate % 1000 THEN 1 ELSE 0 END AS copies
+       |  FROM r)
+       |SELECT doc_id, domain, unnest(generate_series(0, copies - 1))::BIGINT AS copy
+       |FROM n WHERE copies > 0""".stripMargin
+
+  /** TF-IDF oracle: same tokenizer, same linear idf (tf·N/df as one IEEE
+    * double division — bit-identical to the engine), same
+    * (score desc, term asc) rank rule.
+    */
+  private def tfidfOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    (tf * nn.n)::DOUBLE / df::DOUBLE AS tf_idf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY (tf * nn.n)::DOUBLE / df::DOUBLE DESC, term ASC) AS "rank"
+       |  FROM tf JOIN df USING (term) CROSS JOIN nn)
+       |SELECT doc_id, term, tf, df, tf_idf, "rank" FROM scored WHERE "rank" <= 3""".stripMargin
+
+  /** Hot-n-gram oracle: per-doc-distinct 3-gram document frequencies,
+    * df >= 2, top 20 under the total (df desc, shingle asc) order.
+    */
+  private def hotNgramsOracle: String =
+    s"""WITH ${gramCtes("h", "documents", 3)},
+       |agg AS (
+       |  SELECT shingle, count(*) AS df FROM hgrams
+       |  GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT shingle, df FROM agg ORDER BY df DESC, shingle ASC LIMIT 20""".stripMargin
 
   /** Packing oracle: same shard/prefix-sum/floor rule as the engine's
     * window expression.

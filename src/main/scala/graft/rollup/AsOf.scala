@@ -91,27 +91,46 @@ object AsOf {
     * executor-side), points carry their single bucket, and the match is a
     * plain (key, bucket) equi-join + exact containment filter. A
     * (point, interval) pair can only meet in the point's own bucket, so
-    * no dedup is needed. Pick `bucketSec` near the typical interval
-    * length: larger buckets mean fewer interval copies but more
-    * false-candidate pairs for the filter.
+    * no dedup is needed.
+    *
+    * Picking `bucketSec`: aim near the TYPICAL interval length (p50–p90) —
+    * larger buckets mean fewer interval copies but more false-candidate
+    * pairs for the filter; smaller buckets the reverse. The fan-out per
+    * interval is `(end-start)/bucketSec + 1` copies, so a pathological
+    * months-long interval against a seconds-scale bucket would silently
+    * explode thousands of rows before the filter sees them —
+    * `maxBucketsPerInterval` makes that contract explicit: any interval
+    * fanning out beyond the cap fails the job loudly (executor-side
+    * `raise_error`, no driver pre-scan) instead of quietly degrading the
+    * join. Raise the cap or coarsen `bucketSec` if long intervals are
+    * legitimate in the workload.
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame, key: String,
       tsSec: String, startSec: String, endSec: String,
-      bucketSec: Long): DataFrame = {
+      bucketSec: Long, maxBucketsPerInterval: Long = 10000L): DataFrame = {
     require(bucketSec > 0, s"bucketSec=$bucketSec must be positive")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval=$maxBucketsPerInterval must be positive")
     val shared = points.columns.toSet.intersect(intervals.columns.toSet) - key
     require(shared.isEmpty,
       s"points and intervals share non-key columns (rename them): ${shared.mkString(",")}")
     require(!points.columns.contains("_b") && !intervals.columns.contains("_b"),
       "column name _b is reserved by intervalJoin")
+    val b0 = floor(col(startSec) / bucketSec)
+    val b1 = floor(col(endSec) / bucketSec)
     val iv = intervals
       // an inverted interval (corrupt row) would make sequence() count
       // DOWNWARD and explode |start-end|/bucket rows before the containment
       // filter rejects them all — drop it up front instead
       .filter(col(endSec) >= col(startSec))
+      // fan-out guard: fail loudly on the offending ROW (cap doc above)
       .withColumn("_b",
-        explode(sequence(floor(col(startSec) / bucketSec),
-          floor(col(endSec) / bucketSec))))
+        explode(sequence(b0,
+          when(b1 - b0 < maxBucketsPerInterval, b1).otherwise(raise_error(
+            concat(lit(s"intervalJoin: interval covers > $maxBucketsPerInterval" +
+                s" buckets of $bucketSec s (start="), col(startSec),
+              lit(", end="), col(endSec),
+              lit(") — coarsen bucketSec or raise maxBucketsPerInterval")))))))
     val pt = points.withColumn("_b", floor(col(tsSec) / bucketSec))
     pt.join(iv, pt(key) === iv(key) && pt("_b") === iv("_b"))
       .filter(pt(tsSec) >= iv(startSec) && pt(tsSec) <= iv(endSec))

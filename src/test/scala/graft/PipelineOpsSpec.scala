@@ -382,6 +382,85 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq((1L, "same text"), (3L, "other text")), s"got ${kept.toSeq}")
   }
 
+  test("weighted mixing matches a reference md5 implementation exactly") {
+    import graft.pipeline.Mixing
+    val rates = Map("web" -> 600, "code" -> 1000, "books" -> 2500, "junk" -> 0)
+    val input = docs.select($"doc_id",
+      element_at(array(lit("web"), lit("code"), lit("books"), lit("junk")),
+        ($"doc_id" % 4 + 1).cast("int")).as("domain"))
+    val got = Mixing.sampleWeighted(input, "doc_id", "domain", rates, "mix-v1")
+      .select($"doc_id", $"domain", $"copy").as[(Long, String, Int)]
+      .collect().toSet
+    // reference: same salted md5 bucket + copies rule in plain Scala
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$id:mix-v1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1000
+    }
+    val domains = Vector("web", "code", "books", "junk")
+    val expected = docs.select($"doc_id").as[Long].collect().flatMap { id =>
+      val dom = domains((id % 4).toInt)
+      val r = rates(dom)
+      val n = r / 1000 + (if (bucket(id) < r % 1000) 1 else 0)
+      (0 until n).map(c => (id, dom, c))
+    }.toSet
+    assert(got == expected)
+    // the mix exercises all four behaviors on this corpus
+    val byDom = got.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val inDom = docs.select(($"doc_id" % 4).as("d")).groupBy("d").count()
+      .as[(Long, Long)].collect().toMap
+    assert(!byDom.contains("junk"))
+    assert(byDom("code") == inDom(1L).toInt)          // pass-through
+    assert(byDom("web") < inDom(0L))                  // down-sampled
+    assert(byDom("books") > 2 * inDom(2L).toInt)      // up-sampled >2x
+  }
+
+  test("tf-idf top terms match a hand-computed corpus") {
+    val tiny = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple")).toDF("doc_id", "text")
+    val got = graft.text.Tfidf.topTerms(tiny, "doc_id", "text", nDocs = 3, k = 2)
+      .select($"id", $"term", $"tf", $"df", $"tf_idf", $"rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSet
+    // df: apple 2, banana 2, cherry 1; idf = 3/df
+    val expected = Set(
+      (1L, "apple", 2L, 2L, 3.0, 1), (1L, "banana", 1L, 2L, 1.5, 2),
+      (2L, "cherry", 1L, 1L, 3.0, 1), (2L, "banana", 1L, 2L, 1.5, 2),
+      (3L, "apple", 1L, 2L, 1.5, 1))
+    assert(got == expected, s"got $got")
+  }
+
+  test("hot n-grams report document frequencies with deterministic top-k") {
+    val tiny = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown dog"),
+      (3L, "the quick brown cat"), (4L, "lazy dog sleeps here")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Tfidf.hotNgrams(tiny, "doc_id", "text",
+      n = 3, minDf = 2, k = 5).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("the quick brown", 3L)), s"got $got")
+  }
+
+  test("exact dedup rejects inputs that already use the reserved _fp column") {
+    val clash = Seq((1L, "t", "x")).toDF("doc_id", "text", "_fp")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exact(clash, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("_fp"))
+  }
+
+  test("dup components free superseded per-round checkpoints") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // diameter-11 chain: ~11 propagation rounds, so a leak would pin ~12
+    // checkpoint RDDs plus the edge cache
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupComponents((0L to 11L).toDF("doc_id"), "doc_id", chain)
+    assert(labels.count() == 12)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the FINAL labels materialization may stay pinned (released on
+    // plan GC / clearCache per the Dedup cache contract)
+    assert(added.size <= 1, s"leaked persisted RDDs: $added")
+  }
+
   test("dup components fail loudly when maxIter is too small to converge") {
     val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val nodes = (0L to 11L).toDF("doc_id")

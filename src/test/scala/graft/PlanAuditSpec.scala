@@ -154,6 +154,19 @@ class PlanAuditSpec extends SparkSpec {
       s"hash split must not shuffle (content-independent per-row expr):\n$p")
   }
 
+  test("dataset mix is a pure projection + generate — zero exchanges") {
+    val p = plan(Queries.datasetMix(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      s"weighted mixing must not shuffle (per-row copy rule + explode):\n$p")
+    assert(p.contains("Generate"), s"expected executor-side explode:\n$p")
+  }
+
+  test("hot n-grams top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Queries.hotNgrams(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$p")
+  }
+
   test("line dedup anti-joins on the hashed line key, no cartesian") {
     val p = plan(Queries.lineDedup(spark, sfDir))
     assert(p.contains("LeftAnti"), s"expected anti-join:\n$p")

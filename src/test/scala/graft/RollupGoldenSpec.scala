@@ -131,6 +131,30 @@ class RollupGoldenSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("interval join: pathological fan-out fails loudly at the cap") {
+    val pts = Seq((1L, 5L, 10L)).toDF("k", "ts_sec", "pid")
+    // a months-long interval against a seconds-scale bucket: 2,592,000
+    // covered buckets — must raise, not silently explode
+    val monster = Seq((1L, 0L, 2592000L, 40L))
+      .toDF("k", "start_sec", "end_sec", "iid")
+    val ex = intercept[Exception] {
+      graft.rollup.AsOf.intervalJoin(pts, monster, "k", "ts_sec",
+        "start_sec", "end_sec", bucketSec = 1).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).mkString
+        .contains("intervalJoin: interval covers"), s"wrong error: $ex")
+    // the same interval passes with a cap sized for it, and with a
+    // coarse-enough bucket under the default cap
+    assert(graft.rollup.AsOf.intervalJoin(pts, monster, "k", "ts_sec",
+      "start_sec", "end_sec", bucketSec = 86400).count() == 1L)
+    assert(graft.rollup.AsOf.intervalJoin(pts, monster, "k", "ts_sec",
+      "start_sec", "end_sec", bucketSec = 1,
+      maxBucketsPerInterval = 3000000L).count() == 1L)
+  }
+
   test("gap-fill: spine complete, originals untouched, interpolation exact") {
     val points = Rollups.points(Rollups.cube(turns, Tier.Minute), "1m").cache()
     val filled = GapFill.fillPoints(points, Tier.Minute).cache()
