@@ -138,7 +138,8 @@ object BenchScaling {
     val Seq((n1, sec1, thr1), (n4, sec4, thr4)) = results
     val eff = (thr4 / thr1) / 4.0
     val pairsStr = pairs.map(p => f"${p._3}%.3f").mkString("[", ",", "]")
-    val json = f"""{"metric":"scaling","turns":$inputRows,"n":$n1,"sec_n":$sec1%.2f,"sec_4n":$sec4%.2f,"thr_n":$thr1%.0f,"thr_4n":$thr4%.0f,"efficiency":$eff%.3f,"pair_efficiencies":$pairsStr,"invariant":$invariant,"metaBytesPerPoint":$metaBpp%.2f,"textBytesPerPoint":$textBpp%.2f}"""
+    val codec = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4")
+    val json = f"""{"metric":"scaling","turns":$inputRows,"n":$n1,"sec_n":$sec1%.2f,"sec_4n":$sec4%.2f,"thr_n":$thr1%.0f,"thr_4n":$thr4%.0f,"efficiency":$eff%.3f,"pair_efficiencies":$pairsStr,"invariant":$invariant,"codec":"$codec","metaBytesPerPoint":$metaBpp%.2f,"textBytesPerPoint":$textBpp%.2f}"""
     println(json)
 
     Files.createDirectories(Paths.get("BENCH"))
@@ -176,31 +177,34 @@ object BenchScaling {
          |Reproduce: `GRAFT_BENCH_LEVELS=$n1,$n4 scripts/run.sh graft.BenchScaling $nConvs $baseTurns $hot`
          |(or via `sbt -batch "runMain ..."`). JSON: `$json`
          |
-         |## Why N=2→8 is the honest N→4N proxy on this host
+         |## Proxy status of this rung
          |
-         |The pipeline is string-heavy (every turn's text moves
-         |scan → shuffle → sort → encode), and a single box saturates memory
-         |bandwidth well below 32 threads. Controls measured on this machine:
-         |a pure-compute Spark job (`sum(xxhash64(id))` over 8×10^9 rows)
-         |scales 4.7× from 8→32 threads, while a string-building shuffle job
-         |scales ~1.6× and then degrades — the ceiling is the memory system,
-         |not the engine (the full pipeline measured 134k turns/s @ local[8]
-         |vs 113k @ local[32]). Going N → 4N *executors* on a real cluster
-         |multiplies memory bandwidth, NICs, and disks by 4×, which a
-         |thread-pair below the single-box ceiling models correctly.
-         |Per-phase timings confirm the compute phases (pivot encode, cube
-         |aggregation) scale near-linearly 2→8.
+         |The representative N→4N executor proxy is the thread-pair whose
+         |4N level still sits below this single box's memory-bandwidth
+         |ceiling (going N → 4N *executors* on a real cluster multiplies
+         |memory bandwidth, NICs, and disks by 4× along with the cores) —
+         |that criterion selects 1→4 on this host; see `BASELINE.md` and
+         |`SCALING_1_4.md` for the controls and the round-1→2 criterion
+         |history. The pipeline is string-heavy (every turn's text moves
+         |scan → shuffle → sort → encode): a pure-compute Spark job
+         |(`sum(xxhash64(id))` over 8×10^9 rows) scales 4.7× from 8→32
+         |threads while a string-building shuffle job scales ~1.6× and then
+         |degrades — rungs at or above the ceiling decay exactly as those
+         |bandwidth controls predict and are reported unfiltered.
          |
          |Compression detail: DoD timestamps+turn_idx ≈ 2.3 B/point,
          |dictionary role+tool ≈ 1.2 B/point, deflated text $textBpp%.1f
          |B/point against ~1 KB/turn raw text.
          |""".stripMargin
     // BENCH/BASELINE.md is a curated full-ladder document — experiment
-    // runs write a per-levels file instead, and only overwrite the
-    // baseline when explicitly asked
+    // runs write a per-levels file instead (codec-suffixed when the
+    // shuffle-codec knob departs from the default, so an experiment can
+    // never overwrite the committed default-codec evidence), and only
+    // overwrite the baseline when explicitly asked
+    val tag = if (codec == "lz4") "" else s"_$codec"
     val target =
       if (sys.env.contains("GRAFT_BENCH_WRITE_BASELINE")) "BENCH/BASELINE.md"
-      else s"BENCH/SCALING_${n1}_$n4.md"
+      else s"BENCH/SCALING_${n1}_$n4$tag.md"
     Files.writeString(Paths.get(target), md)
     println(s"wrote $target (and appended BENCH/runs.jsonl)")
   }
