@@ -583,6 +583,36 @@ object Queries {
       minSim = 0.999999)
   }
 
+  /** Embedding near-dup CLUSTER formation — the same pair→component
+    * composition as [[dedupClusters]] but over the embedding near-dup
+    * graph (SRP-bucketed candidate join + exact cosine verify, then min-id
+    * label propagation). Survivors are rows with vec_id == cluster_id.
+    * The oracle recomputes the exact transitive closure of the exhaustive
+    * all-pairs cosine graph.
+    */
+  def embedDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select("vec_id", "embedding")
+    val corpus = e.unionByName(e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val pairs = graft.sim.Ann.cosineDupPairs(corpus, "vec_id", "embedding",
+      minSim = 0.999999)
+    graft.dedup.Dedup.dupComponents(corpus, "vec_id", pairs)
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+  }
+
+  /** M4 visualization downsampling (VLDB'14) of the events series at 1-hour
+    * pixel buckets: first/last/min/max points per (user, bucket) in one
+    * aggregation — epoch-micros timestamps so both engines compare exact
+    * integers. See [[graft.rollup.Downsample]].
+    */
+  def m4Downsample(s: SparkSession, dir: String): DataFrame =
+    graft.rollup.Downsample.m4(
+      events(s, dir).select(col("user_id"),
+        // ts is TIMESTAMP_NTZ; the session TZ is pinned UTC everywhere, so
+        // the cast is the identity mapping onto epoch micros
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value")),
+      "user_id", "ts_us", "value", bucketWidth = 3600L * 1000000L)
+
   /** Multimodal stub pipeline: binary payloads → partition-batched feature
     * extraction, exploded to sortable scalar rows (media_id, kind, n_bytes,
     * bin_idx, bin_count). The normalized float features are folded back to
@@ -657,6 +687,8 @@ object Queries {
     "ann_ivf" -> annIvf _,
     "embed_norms" -> embedNorms _,
     "embed_dup_pairs" -> embedDupPairs _,
+    "embed_dup_clusters" -> embedDupClusters _,
+    "m4_downsample" -> m4Downsample _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _)
 
@@ -947,7 +979,53 @@ object Queries {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.999999""".stripMargin)
+        |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.999999""".stripMargin,
+    // exact transitive closure of the exhaustive cosine near-dup graph
+    "embed_dup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.999999),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM corpus
+        |  UNION
+        |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.src)
+        |SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    // M4 (first/last/min/max per pixel bucket), ties broken by the full
+    // (ts, value) / (value, ts) pair — identical rule to Downsample.m4
+    "m4_downsample" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |    (epoch_us(ts) // 3600000000) AS bucket
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, bucket, ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts_us, value) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts_us DESC, value DESC) AS rl,
+        |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY value, ts_us) AS rmn,
+        |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY value DESC, ts_us DESC) AS rmx
+        |  FROM p)
+        |SELECT user_id, bucket,
+        |  max(CASE WHEN rf = 1 THEN ts_us END) AS ts_first,
+        |  max(CASE WHEN rf = 1 THEN value END) AS v_first,
+        |  max(CASE WHEN rl = 1 THEN ts_us END) AS ts_last,
+        |  max(CASE WHEN rl = 1 THEN value END) AS v_last,
+        |  max(CASE WHEN rmn = 1 THEN ts_us END) AS ts_min,
+        |  max(CASE WHEN rmn = 1 THEN value END) AS v_min,
+        |  max(CASE WHEN rmx = 1 THEN ts_us END) AS ts_max,
+        |  max(CASE WHEN rmx = 1 THEN value END) AS v_max,
+        |  count(*) AS n
+        |FROM r GROUP BY 1, 2""".stripMargin)
 
   /** SRP-LSH oracle GENERATED from the engine's own deterministic
     * hyperplanes ([[graft.sim.Ann.planes]] — single source of truth,

@@ -161,6 +161,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected executor-side explode:\n$p")
   }
 
+  test("m4 downsampling is one aggregation — single exchange, no window") {
+    val p = plan(Queries.m4Downsample(spark, sfDir))
+    assert(!p.contains("Window"),
+      s"M4 must be a pure aggregation, not a ranking window:\n$p")
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+  }
+
   test("hot n-grams top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Queries.hotNgrams(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),

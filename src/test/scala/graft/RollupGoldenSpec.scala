@@ -155,6 +155,27 @@ class RollupGoldenSpec extends SparkSpec {
       maxBucketsPerInterval = 3000000L).count() == 1L)
   }
 
+  test("M4 downsampling keeps first/last/min/max with deterministic ties") {
+    val pts = Seq(
+      ("a", 1L, 5.0), ("a", 3L, 2.0), ("a", 4L, 2.0),  // min VALUE tie
+      ("a", 7L, 9.0), ("a", 9L, 9.0),                  // max VALUE tie
+      ("a", 12L, 4.0),                                 // second bucket
+      ("b", 2L, 1.0)
+    ).toDF("k", "ts", "v")
+    val got = graft.rollup.Downsample.m4(pts, "k", "ts", "v", 10L)
+      .orderBy("k", "bucket")
+      .select("k", "bucket", "ts_first", "v_first", "ts_last", "v_last",
+        "ts_min", "v_min", "ts_max", "v_max", "n")
+      .as[(String, Long, Long, Double, Long, Double, Long, Double, Long, Double, Long)]
+      .collect().toSeq
+    // value ties resolve by the (value, ts) pair: min -> earliest ts of the
+    // smallest value, max -> latest ts of the largest value
+    assert(got == Seq(
+      ("a", 0L, 1L, 5.0, 9L, 9.0, 3L, 2.0, 9L, 9.0, 5L),
+      ("a", 1L, 12L, 4.0, 12L, 4.0, 12L, 4.0, 12L, 4.0, 1L),
+      ("b", 0L, 2L, 1.0, 2L, 1.0, 2L, 1.0, 2L, 1.0, 1L)), s"got $got")
+  }
+
   test("gap-fill: spine complete, originals untouched, interpolation exact") {
     val points = Rollups.points(Rollups.cube(turns, Tier.Minute), "1m").cache()
     val filled = GapFill.fillPoints(points, Tier.Minute).cache()
