@@ -176,6 +176,30 @@ class RollupGoldenSpec extends SparkSpec {
       ("b", 0L, 2L, 1.0, 2L, 1.0, 2L, 1.0, 2L, 1.0, 1L)), s"got $got")
   }
 
+  test("M4 matches a single-node reference on random tie-heavy series") {
+    val rng = new scala.util.Random(4242)
+    // coarse-quantized values + small ts range force frequent ties on both
+    // orderings, exercising the deterministic tie rule
+    val rows = (1 to 500).map { _ =>
+      (s"k${rng.nextInt(5)}", rng.nextInt(100).toLong,
+        math.floor(rng.nextDouble() * 20) / 2.0)
+    }
+    val got = graft.rollup.Downsample.m4(rows.toDF("k", "ts", "v"), "k", "ts", "v", 13L)
+      .select("k", "bucket", "ts_first", "v_first", "ts_last", "v_last",
+        "ts_min", "v_min", "ts_max", "v_max", "n")
+      .as[(String, Long, Long, Double, Long, Double, Long, Double, Long, Double, Long)]
+      .collect().toSet
+    val expected = rows.groupBy { case (k, ts, _) => (k, Math.floorDiv(ts, 13L)) }
+      .map { case ((k, b), rs) =>
+        val byTime = rs.map(r => (r._2, r._3)).sorted
+        val byValue = rs.map(r => (r._3, r._2)).sorted
+        (k, b, byTime.head._1, byTime.head._2, byTime.last._1, byTime.last._2,
+          byValue.head._2, byValue.head._1, byValue.last._2, byValue.last._1,
+          rs.size.toLong)
+      }.toSet
+    assert(got == expected)
+  }
+
   test("gap-fill: spine complete, originals untouched, interpolation exact") {
     val points = Rollups.points(Rollups.cube(turns, Tier.Minute), "1m").cache()
     val filled = GapFill.fillPoints(points, Tier.Minute).cache()
