@@ -307,37 +307,47 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // per round: propagate neighbor minima, keep the old label alongside,
-      // and fold checkpoint materialization into the convergence count —
-      // the LAZY localCheckpoint persists its partitions as the count job
-      // computes them, so each round costs exactly ONE Spark job (the
-      // eager-checkpoint-then-count shape paid two, pure fixed overhead at
-      // small data). Lineage still truncates: labels feeds two joins per
-      // round, and a cache-only loop doubles the logical plan every
-      // iteration — a deep chain OOMs the driver building plan strings.
-      val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("cluster").as("nl"))
-      val round = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
-        .localCheckpoint(eager = false)
-      changed = round.filter(col("cluster") < col("old")).count()
-      // the superseded round's blocks are dead the moment `round` is
-      // materialized — free them now instead of leaking one O(#docs)
-      // checkpoint per round for the life of the session
-      freeLocalCheckpoint(labels)
-      labels = round.select("id", "cluster")
-      i += 1
-    }
-    freeLocalCheckpoint(sym)
-    // fail loudly rather than return split components: downstream survivor
-    // rules (keep id == cluster) would silently keep several duplicates of
-    // one unconverged component
-    require(changed == 0,
-      s"dupComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter for graphs with " +
-        "component diameter > maxIter")
+    // every exit (incl. a job failure or the non-convergence throw below)
+    // must free the edge checkpoint and the last superseded labels — an
+    // error path that leaks O(#edges + #docs) blocks per failed call would
+    // be the worse bug in a long-lived session
+    try {
+      while (changed > 0 && i < maxIter) {
+        // per round: propagate neighbor minima, keep the old label
+        // alongside, and fold checkpoint materialization into the
+        // convergence count — the LAZY localCheckpoint persists its
+        // partitions as the count job computes them, so each round costs
+        // exactly ONE Spark job (the eager-checkpoint-then-count shape paid
+        // two, pure fixed overhead at small data). Lineage still truncates:
+        // labels feeds two joins per round, and a cache-only loop doubles
+        // the logical plan every iteration — a deep chain OOMs the driver
+        // building plan strings.
+        val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min("cluster").as("nl"))
+        val round = labels.join(prop, Seq("id"), "left")
+          .select(col("id"), col("cluster").as("old"),
+            least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
+          .localCheckpoint(eager = false)
+        changed = round.filter(col("cluster") < col("old")).count()
+        // the superseded round's blocks are dead the moment `round` is
+        // materialized — free them now instead of leaking one O(#docs)
+        // checkpoint per round for the life of the session
+        freeLocalCheckpoint(labels)
+        labels = round.select("id", "cluster")
+        i += 1
+      }
+      // fail loudly rather than return split components: downstream
+      // survivor rules (keep id == cluster) would silently keep several
+      // duplicates of one unconverged component
+      require(changed == 0,
+        s"dupComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter for graphs with " +
+          "component diameter > maxIter")
+    } catch {
+      case t: Throwable =>
+        freeLocalCheckpoint(labels) // not returned on the error path
+        throw t
+    } finally freeLocalCheckpoint(sym)
     labels
   }
 

@@ -42,6 +42,44 @@ object StreamingRollup {
         col("turns"), col("textLenSum"), col("textLenMin"), col("textLenMax"))
   }
 
+  /** Streaming M4 downsampling — live dashboard previews at ingest: the
+    * same first/last/min/max-per-pixel-bucket operator as
+    * [[graft.rollup.Downsample.m4]] expressed as an event-time windowed
+    * aggregation with a watermark (state = one ≤4-point sketch per open
+    * (key, window); min_by/max_by are declarative aggregates, so the
+    * state store holds fixed-width buffers, never row lists). Identical
+    * tie rule to the batch operator — equality asserted in StreamingSpec.
+    * `bucket` is the window start in epoch seconds (the batch operator's
+    * `bucket × bucketWidth` in its time unit); ts_* are epoch micros.
+    */
+  def m4Stream(spark: SparkSession, inputDir: String, schema: StructType,
+      keyCol: String, tsCol: String, valueCol: String,
+      tier: Tier = Tier.Minute, watermark: String = "10 minutes"): DataFrame = {
+    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    val v = col(valueCol)
+    val byTime = struct(tsUs.as("t"), v.as("v"))
+    val byValue = struct(v.as("v"), tsUs.as("t"))
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol),
+        window(col(tsCol), s"${tier.bucketSec} seconds").as("w"))
+      .agg(
+        min_by(byTime, byTime).as("_f"),
+        max_by(byTime, byTime).as("_l"),
+        min_by(byTime, byValue).as("_mn"),
+        max_by(byTime, byValue).as("_mx"),
+        count(lit(1)).as("n"))
+      .select(col(keyCol),
+        unix_timestamp(col("w.start")).as("bucket"),
+        col("_f.t").as("ts_first"), col("_f.v").as("v_first"),
+        col("_l.t").as("ts_last"), col("_l.v").as("v_last"),
+        col("_mn.t").as("ts_min"), col("_mn.v").as("v_min"),
+        col("_mx.t").as("ts_max"), col("_mx.v").as("v_max"),
+        col("n"))
+  }
+
   /** Streaming exact dedup at ingest: drop rows whose normalized content
     * fingerprint ([[graft.text.TextAnalysis.fingerprint]]) was already
     * seen within the watermark horizon — `dropDuplicatesWithinWatermark`

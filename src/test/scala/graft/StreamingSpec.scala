@@ -34,6 +34,34 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, want, "stream == batch")
   }
 
+  test("streaming M4 equals the batch downsampler, ties included") {
+    val dir = Files.createTempDirectory("graft-stream-m4").toString
+    val rng = new scala.util.Random(99)
+    // tie-heavy series across several 1m windows and keys
+    val rows = (1 to 300).map { _ =>
+      (s"u${rng.nextInt(4)}", 1700000000L + rng.nextInt(300),
+        math.floor(rng.nextDouble() * 10) / 2.0)
+    }
+    val df = rows.toDF("user_id", "off", "value")
+      .select($"user_id", expr("timestamp_seconds(off)").as("ts"), $"value")
+    df.write.parquet(s"$dir/in")
+
+    val stream = StreamingRollup.m4Stream(spark, s"$dir/in",
+      df.schema, "user_id", "ts", "value", Tier.Minute)
+    val q = StreamingRollup.toMemorySink(stream, "stream_m4")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.awaitTermination()
+
+    val got = spark.table("stream_m4")
+    val want = graft.rollup.Downsample.m4(
+      df.select($"user_id",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"), $"value"),
+      "user_id", "ts_us", "value", bucketWidth = 60L * 1000000L)
+      // batch bucket = floor(us / 60e6); stream bucket = window start sec
+      .withColumn("bucket", col("bucket") * 60)
+    assertSameRows(got, want, "stream m4 == batch m4")
+  }
+
   test("parquet-sink dedup survives a restart: no loss, no duplication, state intact") {
     val dir = Files.createTempDirectory("graft-restart-dedup").toString
     def doc(id: Long, text: String, tsOff: Long) = (id, text, tsOff)
