@@ -526,6 +526,20 @@ object Queries {
     graft.text.Tfidf.hotNgrams(documents(s, dir), "doc_id", "text",
       n = 3, minDf = 2, k = 20)
 
+  /** Percentile quality gate: keep the top 70 % of documents by the
+    * composite quality score — exact quantized-histogram threshold, never
+    * approx_percentile or a global sort ([[graft.pipeline.QuantileGate]]).
+    * Output = kept docs with their quantized score bucket; the oracle
+    * replays the score formula, the histogram, and the threshold rule.
+    */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = documents(s, dir).select(col("doc_id"),
+      graft.text.TextAnalysis.quality(col("text")).getField("quality").as("q"))
+    graft.pipeline.QuantileGate.keepTopFraction(scored, "q", keepFraction = 0.7)
+      .select(col("doc_id"),
+        graft.pipeline.QuantileGate.bucketOf(col("q"), 10000L).as("qb"))
+  }
+
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
@@ -681,6 +695,7 @@ object Queries {
     "asof_join" -> asofJoin _,
     "interval_join_sessions" -> intervalJoinSessions _,
     "text_quality" -> textQuality _,
+    "quality_gate" -> qualityGate _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
     "ann_lsh" -> annLsh _,
@@ -952,6 +967,7 @@ object Queries {
         |    THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)
         |    ELSE 0.0 END AS punct_ratio
         |FROM documents""".stripMargin,
+    "quality_gate" -> qualityGateOracle,
     "ann_lsh" -> lshOracle,
     "ann_ivf" -> ivfOracle,
     "ann_bruteforce" ->
@@ -1322,6 +1338,36 @@ object Queries {
        |SELECT doc_id, tokens,
        |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
        |FROM clean""".stripMargin
+
+  /** Quality-gate oracle: replays the composite score (each sub-formula
+    * already proven engine-portable by the text_quality / lang_id
+    * oracles), the quantized histogram, and the largest-bucket-with-
+    * enough-mass threshold rule.
+    */
+  private def qualityGateOracle: String = {
+    val stops = graft.text.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id, length(text) AS chars,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS toks,
+       |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ((CASE WHEN chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |     + (CASE WHEN (CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |     + (CASE WHEN (CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.0 END)
+       |     + least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains($stops, x)))::DOUBLE / len(toks) ELSE 0.0 END) * 5, 1.0)
+       |    ) / 4.0 AS quality
+       |  FROM q),
+       |b AS (SELECT doc_id, floor(quality * 10000)::BIGINT AS qb FROM sc),
+       |h AS (SELECT qb, count(*) AS c FROM b GROUP BY 1),
+       |t AS (
+       |  SELECT max(qb) AS thr FROM (
+       |    SELECT qb, sum(c) OVER (ORDER BY qb DESC) AS cum FROM h)
+       |  WHERE cum >= (SELECT ceil(0.7 * count(*)) FROM b))
+       |SELECT doc_id, qb FROM b, t WHERE qb >= thr""".stripMargin
+  }
 
   /** Mixing oracle: re-derives every kept copy — domain from doc_id, rate
     * from the mixture config, copies = rate/1000 (+1 iff the salted md5

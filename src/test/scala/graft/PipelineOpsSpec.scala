@@ -440,6 +440,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(("the quick brown", 3L)), s"got $got")
   }
 
+  test("quantile gate keeps the top fraction with content-based ties") {
+    import graft.pipeline.QuantileGate
+    val scores = Seq((1L, 0.95), (2L, 0.90), (3L, 0.90), (4L, 0.50), (5L, 0.10))
+      .toDF("id", "s")
+    // keep 0.4 of 5 -> k=2; the 0.90 bucket straddles the cut, so the WHOLE
+    // bucket is kept (content-based ties): ids 1,2,3
+    val kept = QuantileGate.keepTopFraction(scores, "s", 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"got $kept")
+    assert(QuantileGate.keepTopFraction(scores, "s", 1.0).count() == 5)
+    // keepFraction so small that k=1 -> only the top bucket
+    assert(QuantileGate.keepTopFraction(scores, "s", 0.1)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // empty input passes through empty, no crash
+    assert(QuantileGate.keepTopFraction(scores.filter($"id" > 99), "s", 0.5)
+      .count() == 0)
+  }
+
   test("exact dedup rejects inputs that already use the reserved _fp column") {
     val clash = Seq((1L, "t", "x")).toDF("doc_id", "text", "_fp")
     val e = intercept[IllegalArgumentException] {
