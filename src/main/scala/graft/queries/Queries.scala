@@ -505,6 +505,21 @@ object Queries {
       .select(col("doc_id"), col("domain"), col("copy").cast("long").as("copy"))
   }
 
+  /** Deterministic 50-doc-per-domain sample (eval-set construction):
+    * exactly the 50 smallest (salted-md5 bucket, doc_id) per domain via
+    * the skew-safe two-phase selection ([[graft.pipeline.GroupSample]] —
+    * under-threshold rows by plain filter, only the boundary bucket
+    * windows). The oracle runs the equivalent naive per-group rank.
+    */
+  def groupSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"),
+      element_at(array(lit("web"), lit("code"), lit("books"), lit("junk")),
+        (col("doc_id") % 4 + 1).cast("int")).as("domain"))
+    graft.pipeline.GroupSample.sampleKPerGroup(docs, "doc_id", "domain",
+      k = 50, salt = "sample-v1")
+      .select("doc_id", "domain")
+  }
+
   /** Per-doc top-3 TF-IDF keywords (linear idf = N/df so scores are exact
     * IEEE divisions — see [[graft.text.Tfidf]]); the corpus-size count is
     * the one control-plane action (the catalog-stats analog).
@@ -690,6 +705,7 @@ object Queries {
     "pack_sequences" -> packSequences _,
     "doc_repetition" -> docRepetition _,
     "dataset_mix" -> datasetMix _,
+    "group_sample" -> groupSample _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "hot_ngrams" -> hotNgrams _,
     "asof_join" -> asofJoin _,
@@ -851,6 +867,7 @@ object Queries {
     "curate" -> curateOracle,
     "pack_sequences" -> packSequencesOracle,
     "dataset_mix" -> datasetMixOracle,
+    "group_sample" -> groupSampleOracle,
     "tfidf_top_terms" -> tfidfOracle,
     "hot_ngrams" -> hotNgramsOracle,
     "doc_repetition" ->
@@ -1286,8 +1303,8 @@ object Queries {
     * [[graft.pipeline.Splits.bucket]] (nibble-sum of the first 8 hex
     * chars, the idiom the simhash oracle proves against Spark's md5).
     */
-  private def md5BucketSql(idExpr: String, salt: String): String =
-    s"list_sum(list_transform(generate_series(1, 8), i -> (strpos('0123456789abcdef', substr(md5($idExpr::VARCHAR || ':$salt'), i, 1)) - 1)::BIGINT << (4*(8-i))))::BIGINT % 1000"
+  private def md5BucketSql(idExpr: String, salt: String, mod: Int = 1000): String =
+    s"list_sum(list_transform(generate_series(1, 8), i -> (strpos('0123456789abcdef', substr(md5($idExpr::VARCHAR || ':$salt'), i, 1)) - 1)::BIGINT << (4*(8-i))))::BIGINT % $mod"
 
   private def hashSplitOracle: String =
     s"""WITH b AS (
@@ -1390,6 +1407,25 @@ object Queries {
        |  FROM r)
        |SELECT doc_id, domain, unnest(generate_series(0, copies - 1))::BIGINT AS copy
        |FROM n WHERE copies > 0""".stripMargin
+
+  /** Group-sample oracle: the naive formulation the engine's two-phase
+    * selection is proven byte-equal to — per-group rank over
+    * (salted bucket, doc_id), keep rank <= k.
+    */
+  private def groupSampleOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    (['web', 'code', 'books', 'junk'])[(doc_id % 4 + 1)::INT] AS domain
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, domain,
+       |    ${md5BucketSql("doc_id", "sample-v1", 4096)} AS sb
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, domain,
+       |    row_number() OVER (PARTITION BY domain ORDER BY sb, doc_id) AS rn
+       |  FROM b)
+       |SELECT doc_id, domain FROM r WHERE rn <= 50""".stripMargin
 
   /** TF-IDF oracle: same tokenizer, same linear idf (tf·N/df as one IEEE
     * double division — bit-identical to the engine), same

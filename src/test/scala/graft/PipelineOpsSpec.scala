@@ -440,6 +440,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(("the quick brown", 3L)), s"got $got")
   }
 
+  test("group sample equals the naive per-group rank (skew + small groups)") {
+    import graft.pipeline.{GroupSample, Splits}
+    import org.apache.spark.sql.expressions.Window
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (1000L to 1029L).map(i => (i, "tiny"))).toDF("id", "g")
+    val got = GroupSample.sampleKPerGroup(df, "id", "g", k = 50, salt = "s1")
+      .select("id", "g").as[(Long, String)].collect().toSet
+    val ref = df.withColumn("sb", Splits.bucket($"id", "s1", 4096))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"sb", $"id")))
+      .filter($"rn" <= 50).select("id", "g").as[(Long, String)].collect().toSet
+    assert(got == ref)
+    // exact k from the big group; the whole under-k group
+    assert(got.count(_._2 == "big") == 50 && got.count(_._2 == "tiny") == 30)
+    // null-group rows are excluded, not sampled
+    val withNull = df.unionByName(
+      Seq((5000L, null.asInstanceOf[String])).toDF("id", "g"))
+    assert(GroupSample.sampleKPerGroup(withNull, "id", "g", 50, "s1")
+      .filter($"g".isNull).count() == 0)
+  }
+
   test("quantile gate keeps the top fraction with content-based ties") {
     import graft.pipeline.QuantileGate
     val scores = Seq((1L, 0.95), (2L, 0.90), (3L, 0.90), (4L, 0.50), (5L, 0.10))
