@@ -29,7 +29,10 @@ object Bench {
     // cache contract) — without the sweep those blocks accumulate across
     // the 39-query session and later queries pay eviction/GC pressure that
     // belongs to no query (the round-3 bench-tail pollution amplifier)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // sorted: Map iteration order is build-dependent, and which query runs
+    // first decides who absorbs each code path's JIT warm-up — a stable
+    // alphabetical order keeps per-query times comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val err =
