@@ -520,6 +520,33 @@ object Queries {
       .select("doc_id", "domain")
   }
 
+  /** PII scrubbing over documents with deterministically injected email /
+    * IPv4 / phone strings: per-kind counts + the redacted text. The
+    * patterns live in the Java∩RE2 regex dialect, so the oracle replays
+    * redaction byte-for-byte ([[graft.text.Scrub]]).
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or +1555000"), (col("doc_id") % 10000).cast("string")).as("text"))
+    withPii.select(col("doc_id"),
+        graft.text.Scrub.piiCounts(col("text")).as("p"),
+        graft.text.Scrub.scrub(col("text")).as("text_clean"))
+      .select(col("doc_id"), col("p.emails").as("emails"),
+        col("p.ips").as("ips"), col("p.phones").as("phones"),
+        col("text_clean"))
+  }
+
+  /** Context-window chunking: 64-token chunks on a 48-token stride
+    * (16-token overlap) — zero exchanges ([[graft.pipeline.Chunking]]).
+    */
+  def chunkTokens(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Chunking.tokenChunks(documents(s, dir), "doc_id", "text",
+      chunkTokens = 64, strideTokens = 48)
+      .withColumnRenamed("id", "doc_id")
+
   /** Per-doc top-3 TF-IDF keywords (linear idf = N/df so scores are exact
     * IEEE divisions — see [[graft.text.Tfidf]]); the corpus-size count is
     * the one control-plane action (the catalog-stats analog).
@@ -706,6 +733,8 @@ object Queries {
     "doc_repetition" -> docRepetition _,
     "dataset_mix" -> datasetMix _,
     "group_sample" -> groupSample _,
+    "pii_scrub" -> piiScrub _,
+    "chunk_tokens" -> chunkTokens _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "hot_ngrams" -> hotNgrams _,
     "asof_join" -> asofJoin _,
@@ -868,6 +897,8 @@ object Queries {
     "pack_sequences" -> packSequencesOracle,
     "dataset_mix" -> datasetMixOracle,
     "group_sample" -> groupSampleOracle,
+    "pii_scrub" -> piiScrubOracle,
+    "chunk_tokens" -> chunkTokensOracle,
     "tfidf_top_terms" -> tfidfOracle,
     "hot_ngrams" -> hotNgramsOracle,
     "doc_repetition" ->
@@ -1407,6 +1438,41 @@ object Queries {
        |  FROM r)
        |SELECT doc_id, domain, unnest(generate_series(0, copies - 1))::BIGINT AS copy
        |FROM n WHERE copies > 0""".stripMargin
+
+  /** PII-scrub oracle: same corpus injection, same Java∩RE2 patterns
+    * ([[graft.text.Scrub]] constants inlined), same replacement order.
+    */
+  private def piiScrubOracle: String = {
+    import graft.text.Scrub
+    s"""WITH w AS (
+       |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
+       |    '@example.com or 10.0.' || (doc_id % 256)::VARCHAR ||
+       |    '.7 or +1555000' || (doc_id % 10000)::VARCHAR AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '${Scrub.EmailRe}'))::BIGINT AS emails,
+       |  len(regexp_extract_all(text, '${Scrub.Ipv4Re}'))::BIGINT AS ips,
+       |  len(regexp_extract_all(text, '${Scrub.PhoneRe}'))::BIGINT AS phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${Scrub.EmailRe}', '<EMAIL>', 'g'),
+       |    '${Scrub.Ipv4Re}', '<IP>', 'g'),
+       |    '${Scrub.PhoneRe}', '<PHONE>', 'g') AS text_clean
+       |FROM w""".stripMargin
+  }
+
+  /** Chunking oracle: same tokenizer, same stride/width/slice rule. */
+  private def chunkTokensOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1, 48)) AS s, toks
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, (s // 48)::BIGINT AS chunk_idx, s::BIGINT AS start_tok,
+       |  least(64, len(toks) - s)::BIGINT AS n_tokens,
+       |  array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+       |FROM c""".stripMargin
 
   /** Group-sample oracle: the naive formulation the engine's two-phase
     * selection is proven byte-equal to — per-group rank over

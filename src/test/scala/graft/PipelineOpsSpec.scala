@@ -440,6 +440,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq(("the quick brown", 3L)), s"got $got")
   }
 
+  test("pii scrub redacts emails, ipv4, and phones; clean text untouched") {
+    import graft.text.Scrub
+    val t = Seq(
+      (1L, "mail a.b+c@ex-ample.org now 192.168.1.255 call +4915512345678 end"),
+      (2L, "no pii here, just 3.14 and v1.2.3 version strings")
+    ).toDF("id", "text")
+    val rows = t.select($"id", Scrub.scrub($"text").as("c"),
+        Scrub.piiCounts($"text").as("p"))
+      .select($"id", $"c", $"p.emails", $"p.ips", $"p.phones")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(0) == ((1L, "mail <EMAIL> now <IP> call <PHONE> end", 1L, 1L, 1L)),
+      s"got ${rows(0)}")
+    // version strings / decimals are NOT ipv4 (needs 4 dotted groups)
+    assert(rows(1)._2 == "no pii here, just 3.14 and v1.2.3 version strings" &&
+      rows(1)._3 == 0 && rows(1)._4 == 0 && rows(1)._5 == 0, s"got ${rows(1)}")
+  }
+
+  test("token chunks cover the doc with the configured stride and overlap") {
+    import graft.pipeline.Chunking
+    val t = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "")).toDF("id", "text")
+    val got = Chunking.tokenChunks(t, "id", "text", chunkTokens = 4, strideTokens = 3)
+      .select("id", "chunk_idx", "start_tok", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6L, 4L, "t6 t7 t8 t9"),
+      (1L, 3L, 9L, 1L, "t9")), s"got $got")
+    // empty doc -> zero chunks, not a downward-counting explode
+    assert(got.forall(_._1 == 1L))
+  }
+
   test("group sample equals the naive per-group rank (skew + small groups)") {
     import graft.pipeline.{GroupSample, Splits}
     import org.apache.spark.sql.expressions.Window
