@@ -16,9 +16,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up so the first measured query isn't charged for it
     // (count, not sum — summing 64-bit hashes overflows under ANSI mode).
+    // Also one tiny pass through each hot expression family — interpreted
+    // HOF tokenizer, hash aggregate, ranking window — because the first
+    // query to touch a family otherwise pays its whole-stage-codegen JIT
+    // (measured: ~5 s charged to whichever dedup query ran first).
     // Best-effort: a broken sfDir must surface as per-query errors in the
     // JSON below, not crash before any JSON is emitted
     spark.range(1000000).selectExpr("count(xxhash64(id))").collect()
+    val warm = spark.range(2000).selectExpr("id", "concat('tok a b c d ', id) AS text")
+    warm.selectExpr(
+        "explode(filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)) AS t")
+      .groupBy("t").count().orderBy(org.apache.spark.sql.functions.desc("count"))
+      .limit(5).collect()
+    warm.selectExpr("id", "row_number() OVER (PARTITION BY id % 10 ORDER BY id) AS rn")
+      .where("rn <= 3").selectExpr("count(1)").collect()
     try spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up read failed (continuing): ${e.getMessage}")
