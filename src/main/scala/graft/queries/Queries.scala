@@ -344,6 +344,29 @@ object Queries {
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Survivor selection per near-dup cluster — the keep-rule AFTER
+    * cluster formation (FineWeb-style: keep the highest-QUALITY copy, not
+    * the arbitrary min-id): pairs → components → per-cluster
+    * `max_by(id, (quality, -id))`. One aggregation over the labeled
+    * corpus; ties (exact copies score identically) break to the smallest
+    * id, so the rule is content-based and re-shard-stable. The oracle
+    * replays closure + score + argmax.
+    */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(s, dir)
+    val pairs = graft.dedup.Dedup.minhashDupPairs(corpus, "doc_id", "text",
+      n = 3, k = 32, bands = 16, minJaccard = 0.8)
+    val clusters = graft.dedup.Dedup.dupComponents(corpus, "doc_id", pairs)
+    val scored = corpus.select(col("doc_id").as("id"),
+      graft.text.TextAnalysis.quality(col("text")).getField("quality").as("q"))
+    clusters.join(scored, "id")
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(
+        max_by(col("id"), struct(col("q"), (-col("id")).as("nid"))).as("survivor_id"),
+        max(col("q")).as("quality"),
+        count(lit(1)).as("cluster_size"))
+  }
+
   /** Benchmark decontamination: corpus = documents + injected "leaked"
     * copies (+30000) of the eval slice; benchmark = the doc_id%17==3
     * slice. Flags every corpus doc sharing a word-5-gram with any
@@ -725,6 +748,7 @@ object Queries {
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_survivors" -> dedupSurvivors _,
     "decontaminate" -> decontaminate _,
     "line_dedup" -> lineDedup _,
     "hash_split" -> hashSplit _,
@@ -899,6 +923,7 @@ object Queries {
     "group_sample" -> groupSampleOracle,
     "pii_scrub" -> piiScrubOracle,
     "chunk_tokens" -> chunkTokensOracle,
+    "dedup_survivors" -> dedupSurvivorsOracle,
     "tfidf_top_terms" -> tfidfOracle,
     "hot_ngrams" -> hotNgramsOracle,
     "doc_repetition" ->
@@ -1387,28 +1412,35 @@ object Queries {
        |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
        |FROM clean""".stripMargin
 
-  /** Quality-gate oracle: replays the composite score (each sub-formula
-    * already proven engine-portable by the text_quality / lang_id
-    * oracles), the quantized histogram, and the largest-bucket-with-
-    * enough-mass threshold rule.
+  /** Composite-quality-score CTE pair over a (doc_id, text) relation
+    * `src` (prefixed so several chains coexist): emits `${p}sc`
+    * with (doc_id, quality). Each sub-formula is proven engine-portable
+    * by the text_quality / lang_id oracle hash-matches.
     */
-  private def qualityGateOracle: String = {
+  private def qualityCtes(p: String, src: String): String = {
     val stops = graft.text.TextAnalysis.stopwords("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH q AS (
+    s"""${p}qm AS (
        |  SELECT doc_id, length(text) AS chars,
        |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS toks,
        |    length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct
-       |  FROM documents),
-       |sc AS (
+       |  FROM $src),
+       |${p}sc AS (
        |  SELECT doc_id,
        |    ((CASE WHEN chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
        |     + (CASE WHEN (CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
        |     + (CASE WHEN (CASE WHEN chars > 0 THEN punct::DOUBLE / chars ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.0 END)
        |     + least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains($stops, x)))::DOUBLE / len(toks) ELSE 0.0 END) * 5, 1.0)
        |    ) / 4.0 AS quality
-       |  FROM q),
-       |b AS (SELECT doc_id, floor(quality * 10000)::BIGINT AS qb FROM sc),
+       |  FROM ${p}qm)""".stripMargin
+  }
+
+  /** Quality-gate oracle: replays the composite score, the quantized
+    * histogram, and the largest-bucket-with-enough-mass threshold rule.
+    */
+  private def qualityGateOracle: String = {
+    s"""WITH ${qualityCtes("g", "documents")},
+       |b AS (SELECT doc_id, floor(quality * 10000)::BIGINT AS qb FROM gsc),
        |h AS (SELECT qb, count(*) AS c FROM b GROUP BY 1),
        |t AS (
        |  SELECT max(qb) AS thr FROM (
@@ -1438,6 +1470,34 @@ object Queries {
        |  FROM r)
        |SELECT doc_id, domain, unnest(generate_series(0, copies - 1))::BIGINT AS copy
        |FROM n WHERE copies > 0""".stripMargin
+
+  /** Survivor oracle: exact transitive closure (as [[clustersOracle]]) +
+    * the quality score over the same corpus + per-cluster argmax on
+    * (quality, -id) — reuses the shared jaccard/quality CTE builders so
+    * oracle cost stays linear in operators.
+    */
+  private def dedupSurvivorsOracle: String =
+    s"""WITH RECURSIVE ${jaccardCtes(0.8)},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jpairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM jpairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM corpus
+       |  UNION
+       |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.src),
+       |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |${qualityCtes("s", "corpus")},
+       |ranked AS (
+       |  SELECT c.cluster_id, c.id, s.quality,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY s.quality DESC, c.id ASC) AS rn
+       |  FROM cl c JOIN ssc s ON s.doc_id = c.id),
+       |agg AS (
+       |  SELECT cluster_id, max(quality) AS quality, count(*) AS cluster_size
+       |  FROM ranked GROUP BY 1)
+       |SELECT a.cluster_id, r.id AS survivor_id, a.quality, a.cluster_size
+       |FROM agg a JOIN ranked r ON r.cluster_id = a.cluster_id AND r.rn = 1""".stripMargin
 
   /** PII-scrub oracle: same corpus injection, same Java∩RE2 patterns
     * ([[graft.text.Scrub]] constants inlined), same replacement order.
