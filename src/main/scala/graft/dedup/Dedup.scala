@@ -22,20 +22,23 @@ import org.apache.spark.sql.functions._
   * from signature/banding but KEPT in verification, so the verified Jaccard
   * is unbiased while one hot shingle can no longer explode a posting join.
   *
-  * ==Cache contract==
-  * [[jaccardPairs]], [[minhashDupPairs]] and [[dropDuplicateLines]] `cache()`
-  * one intermediate relation (the posting/line table) because the returned
-  * plan consumes it from several branches — without the cache the upstream
-  * scan+shingle pipeline would run 3–4×. The RETURNED DataFrame still
-  * references that cache, so the operator cannot unpersist it itself; the
-  * blocks are released when the result's plan is garbage-collected
-  * (Spark's ContextCleaner) or when the caller runs
-  * `spark.catalog.clearCache()` after consuming the result. A long-lived
-  * session running many operators back-to-back should do the latter —
-  * `graft.Bench` does, between every query. [[dupComponents]] frees each
-  * superseded per-round checkpoint itself and leaves only the final labels
-  * materialization pinned (O(#docs) rows), under the same GC/clearCache
-  * release rule.
+  * ==Materialization contract==
+  * [[jaccardPairs]], [[minhashDupPairs]] and [[dropDuplicateLines]]
+  * materialize one intermediate relation (the posting/line table) with an
+  * EAGER `localCheckpoint` — a job runs at operator-construction time —
+  * because the returned plan consumes it from several branches (without
+  * it the scan+shingle pipeline would run 3–4×). A `cache()` would keep
+  * the same data BUT retain the full upstream LOGICAL plan, which AQE
+  * re-optimizes after every completed stage of every downstream action —
+  * measured ~40 % of `minhashDupPairs`' warm wall time at sf0.1 was that
+  * re-planning; the checkpoint truncates lineage to a flat `LogicalRDD`.
+  * The RETURNED DataFrame references the checkpoint, so the operator
+  * cannot free it itself; blocks are released when the result's plan is
+  * garbage-collected (Spark's ContextCleaner) — bounded by one posting
+  * table per in-flight result, not by session lifetime.
+  * [[dupComponents]] additionally frees each superseded per-round
+  * checkpoint itself (including on failure paths) and leaves only the
+  * final labels materialization pinned (O(#docs) rows).
   */
 object Dedup {
 
@@ -110,7 +113,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleIds(docs, idCol, textCol, n).cache()
+    val sh = shingleIds(docs, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // a shingle with document frequency 1 can never contribute to a pair:
     // dropping those postings BEFORE the quadratic self-join shrinks its
@@ -180,7 +183,7 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minJaccard: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleIds(docs, idCol, textCol, n).cache()
+    val sh = shingleIds(docs, idCol, textCol, n).localCheckpoint()
     // hot-shingle set is tiny by definition (few shingles exceed the cap) —
     // broadcast anti-join, no extra shuffle of the posting table
     val shBand =
@@ -419,7 +422,7 @@ object Dedup {
     val lines = docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
       .withColumn("lid", xxhash64(col("line")))
-      .cache()
+      .localCheckpoint()
     val hot = lines.select("lid", "id").distinct()
       .groupBy(col("lid"), pmod(xxhash64(col("id")), lit(dfSalt)).as("_s"))
       .agg(count(lit(1)).as("c"))
