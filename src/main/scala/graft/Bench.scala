@@ -35,16 +35,23 @@ object Bench {
       System.err.println(s"[bench] warm-up read failed (continuing): ${e.getMessage}")
     }
     // a failing query records its error instead of posing as a fast run.
-    // clearCache before each timer: several dedup operators cache a posting
-    // relation the returned plan still references (see graft.dedup.Dedup
-    // cache contract) — without the sweep those blocks accumulate across
-    // the 39-query session and later queries pay eviction/GC pressure that
-    // belongs to no query (the round-3 bench-tail pollution amplifier)
+    // Between timers, sweep BOTH persistence layers: catalog.clearCache for
+    // SQL-cached relations, and RDD-level unpersist for localCheckpoint
+    // blocks — the dedup operators materialize posting/line/label tables as
+    // localCheckpoints (see graft.dedup.Dedup materialization contract),
+    // which the SQL cache manager does not track, so without the RDD sweep
+    // those blocks accumulate across the ~50-query session until
+    // nondeterministic ContextCleaner GC and later queries pay
+    // eviction/GC pressure that belongs to no query (the round-3
+    // bench-tail pollution amplifier). Safe here: no DataFrame survives
+    // across iterations.
     // sorted: Map iteration order is build-dependent, and which query runs
     // first decides who absorbs each code path's JIT warm-up — a stable
     // alphabetical order keeps per-query times comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

@@ -133,10 +133,17 @@ object GorillaFunctions {
     "gorilla_decode_texts" -> (es => GorillaDecodeTexts(es.head)),
     "gorilla_explode" -> (es => GorillaExplodeSegment(es(0), es(1), es(2), es(3))))
 
-  /** Register the functions on an existing session (tests / ad-hoc). */
+  /** Register the functions on an existing session (tests / ad-hoc).
+    * Idempotent: re-registering an already-present name is skipped, so
+    * callers that defensively register per query (Bench/Verify) don't
+    * spam `SimpleFunctionRegistry` "function replaced" warnings into
+    * every artifact tail. The builders are stateless singletons — a
+    * skipped re-registration can never install a stale definition.
+    */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, b, "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
   }
 }
 

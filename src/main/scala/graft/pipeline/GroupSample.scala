@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,17 +16,22 @@ import org.apache.spark.sql.functions._
   * splits the selection:
   *
   *   1. bucket every row (`buckets` salted-md5 bins) and aggregate a
-  *      (group × bucket) histogram — map-side combined, bounded output
-  *      (the control-plane collect is O(groups × buckets); group
-  *      cardinality is expected bounded — domains, languages — the same
-  *      contract as [[Mixing]]'s rate map);
+  *      (group × bucket) histogram — map-side combined, bounded output;
   *   2. per group, choose the threshold bucket where the cumulative count
-  *      reaches k: every row UNDER it is kept outright with a plain
-  *      filter (no window anywhere);
-  *   3. only the BOUNDARY bucket's rows (≈ groupSize/buckets of the
-  *      group) go through the per-group ranking window to take the
-  *      remainder — the hot group's window input shrinks by the bucket
-  *      factor.
+  *      reaches k — computed DISTRIBUTIVELY on the aggregated histogram
+  *      (a per-group running sum over ≤ `buckets` rows each), reduced to
+  *      one (group, threshold, boundary-take) row per group;
+  *   3. the plan table is collected (bounded: `limit(maxGroups + 1)`
+  *      caps the transfer BEFORE it reaches the driver, and an
+  *      over-cardinality group column fails loudly instead of OOMing)
+  *      and broadcast-joined back — a flat plan at any group count, in
+  *      contrast to inlining per-group literals, which blows Catalyst's
+  *      expression-tree/codegen limits near 10³–10⁴ groups;
+  *   4. every row strictly under its group's threshold bucket is kept
+  *      outright with a plain filter (no window anywhere); only the
+  *      BOUNDARY bucket's rows (≈ groupSize/buckets of the group) go
+  *      through the per-group ranking window to take the remainder — the
+  *      hot group's window input shrinks by the bucket factor.
   *
   * Result is EXACTLY the k smallest (bucket, id) per group — byte-equal
   * to the naive window formulation, which is what the DuckDB oracle runs.
@@ -36,44 +41,57 @@ import org.apache.spark.sql.functions._
 object GroupSample {
 
   def sampleKPerGroup(docs: DataFrame, idCol: String, groupCol: String,
-      k: Int, salt: String, buckets: Int = 4096): DataFrame = {
+      k: Int, salt: String, buckets: Int = 4096,
+      maxGroups: Int = 10000): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(buckets > 1, s"buckets=$buckets must be > 1")
-    require(!docs.columns.contains("_sb") && !docs.columns.contains("_rn"),
-      "column names _sb and _rn are reserved by GroupSample")
+    require(maxGroups > 0, s"maxGroups=$maxGroups must be positive")
+    val reserved = Seq("_sb", "_rn", "_gsg", "_thr", "_take")
+    val clash = docs.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(",")} are reserved by GroupSample")
     val withB = docs.filter(col(groupCol).isNotNull)
       .withColumn("_sb", Splits.bucket(col(idCol), salt, buckets))
-    // bounded control-plane histogram: (group, bucket) -> count
-    val hist = withB.groupBy(col(groupCol).as("g"), col("_sb"))
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
-    // per group: threshold bucket + how many boundary rows to take
-    val plans: Map[Any, (Long, Long)] = hist.groupBy(_._1).map {
-      case (g, rows) =>
-        val inOrder = rows.map(r => (r._2, r._3)).sortBy(_._1)
-        val total = inOrder.map(_._2).sum
-        if (total <= k) (g, (buckets.toLong, 0L)) // whole group kept
-        else {
-          val cums = inOrder.scanLeft(0L)(_ + _._2).tail
-          val i = cums.indexWhere(_ >= k)
-          val cumBefore = if (i == 0) 0L else cums(i - 1)
-          (g, (inOrder(i)._1, k - cumBefore))
-        }
-    }
-    def perGroup(f: ((Long, Long)) => Long): Column =
-      plans.toSeq.sortBy(_._1.toString).foldLeft(lit(-1L)) {
-        case (acc, (g, plan)) => when(col(groupCol) === lit(g), lit(f(plan))).otherwise(acc)
-      }
-    val tCol = perGroup(_._1)
-    val takeCol = perGroup(_._2)
-    val under = withB.filter(col("_sb") < tCol)
+    // (group, bucket) histogram -> per-group cumulative counts. The window
+    // runs on the AGGREGATED histogram (≤ buckets rows per group), never
+    // on the data itself.
+    val hist = withB.groupBy(col(groupCol).as("_gsg"), col("_sb"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = hist.withColumn("_cum",
+      sum("_c").over(Window.partitionBy("_gsg").orderBy("_sb")))
+    // per group: first bucket whose cumulative count reaches k (struct-min
+    // => smallest bucket; _cum - _c = count strictly below it), or "keep
+    // everything" (threshold past the last bucket) when the group has <= k
+    // rows in total
+    val planDf = cum.groupBy("_gsg").agg(
+        min(when(col("_cum") >= k,
+          struct(col("_sb").as("b"), (col("_cum") - col("_c")).as("cb"))))
+          .as("_bnd"),
+        max(col("_cum")).as("_total"))
+      .select(col("_gsg"),
+        when(col("_total") <= k, lit(buckets.toLong))
+          .otherwise(col("_bnd.b")).as("_thr"),
+        when(col("_total") <= k, lit(0L))
+          .otherwise(lit(k.toLong) - col("_bnd.cb")).as("_take"))
+    // bounded control-plane collect: limit() caps the driver transfer even
+    // when the group column is unexpectedly high-cardinality (a URL passed
+    // as the group) — fail loudly, never OOM silently
+    val planRows = planDf.limit(maxGroups + 1).collect()
+    require(planRows.length <= maxGroups,
+      s"sampleKPerGroup: group column '$groupCol' has more than $maxGroups " +
+        "distinct values — the per-group selection plan is a broadcast " +
+        "control table bounded by O(groups); raise maxGroups if the " +
+        "cardinality is intentional, or group on a coarser column")
+    val planLit = broadcast(docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(planRows: _*), planDf.schema))
+    val withP = withB.join(planLit, col(groupCol) === col("_gsg")).drop("_gsg")
+    val under = withP.filter(col("_sb") < col("_thr"))
     // boundary bucket: ≈ groupSize/buckets rows per group reach the window
-    val boundary = withB.filter(col("_sb") === tCol)
+    val boundary = withP.filter(col("_sb") === col("_thr"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col(idCol))))
-      .filter(col("_rn") <= takeCol)
+      .filter(col("_rn") <= col("_take"))
       .drop("_rn")
-    under.unionByName(boundary).drop("_sb")
+    under.unionByName(boundary).drop("_sb", "_thr", "_take")
   }
 }

@@ -32,14 +32,20 @@ object QuantileGate {
   def bucketOf(score: Column, quantScale: Long): Column =
     floor(score * quantScale).cast("long")
 
-  /** Threshold bucket for `keepFraction`, or None on an empty input. */
+  /** Threshold bucket for `keepFraction`, or None when no row has a
+    * non-null score (empty or all-null input).
+    */
   def threshold(docs: DataFrame, scoreCol: String, keepFraction: Double,
       quantScale: Long = 10000L): Option[Long] = {
     require(keepFraction > 0.0 && keepFraction <= 1.0,
       s"keepFraction=$keepFraction must be in (0, 1]")
     require(quantScale > 0, s"quantScale=$quantScale must be positive")
-    // bounded control-plane collect: one row per occupied score bucket
-    val hist = docs
+    // NULL scores are excluded up front: a null score quantizes to a null
+    // bucket whose count would silently unbox to 0/phantom rows, inflate
+    // the total, and shift the threshold while the final null-propagating
+    // gate drops the rows anyway — keepFraction is defined over SCORED
+    // rows only (filter upstream if nulls should be errors)
+    val hist = docs.filter(col(scoreCol).isNotNull)
       .groupBy(bucketOf(col(scoreCol), quantScale).as("qb"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -54,12 +60,14 @@ object QuantileGate {
   }
 
   /** Rows whose quantized score reaches the `keepFraction` threshold
-    * (≥ ceil(keepFraction·N) rows; whole boundary bucket kept).
+    * (≥ ceil(keepFraction·N) rows over the non-null-scored N; whole
+    * boundary bucket kept; null-score rows are never kept — the gate
+    * comparison null-propagates, matching the histogram's exclusion).
     */
   def keepTopFraction(docs: DataFrame, scoreCol: String, keepFraction: Double,
       quantScale: Long = 10000L): DataFrame =
     threshold(docs, scoreCol, keepFraction, quantScale) match {
       case Some(t) => docs.filter(bucketOf(col(scoreCol), quantScale) >= t)
-      case None => docs // empty input passes through (still empty)
+      case None => docs.filter(col(scoreCol).isNotNull) // empty/all-null → empty
     }
 }

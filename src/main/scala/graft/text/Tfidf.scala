@@ -59,14 +59,25 @@ object Tfidf {
     * df >= minDf, ordered (df desc, shingle asc). One aggregation + a
     * top-k — use the result to size `maxShingleDf` for LSH banding or as
     * a [[graft.dedup.Dedup.dropDuplicateLines]]-style strip list.
+    *
+    * The aggregation keys on `xxhash64(shingle)` and carries the string as
+    * a `min` aggregate: map-side partials then ship ONE string per
+    * distinct gram per partition instead of every occurrence's string —
+    * the df count for a hot boilerplate gram shuffles longs, not text
+    * (the last string-keyed shuffle in the text path, removed). A 64-bit
+    * cross-gram collision would merge two grams' counts with probability
+    * ~v²/2^65 for vocabulary v — the [[graft.dedup.Dedup.shingleIds]]
+    * collision contract, far below the report's sensitivity.
     */
   def hotNgrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Long, k: Int): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     graft.dedup.Dedup.wordShingles(docs, idCol, textCol, n)
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .groupBy(xxhash64(col("shingle")).as("_gh"))
+      .agg(count(lit(1)).as("df"), min(col("shingle")).as("shingle"))
       .filter(col("df") >= minDf)
       .orderBy(col("df").desc, col("shingle").asc)
       .limit(k)
+      .select("shingle", "df")
   }
 }

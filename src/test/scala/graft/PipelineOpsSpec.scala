@@ -493,6 +493,24 @@ class PipelineOpsSpec extends SparkSpec {
       .filter($"g".isNull).count() == 0)
   }
 
+  test("group sample stays a flat broadcast-plan join at 10^4 groups") {
+    import graft.pipeline.GroupSample
+    // 10^4 distinct groups × 3 rows: the former per-group literal
+    // when-chain hit Catalyst expression-tree/codegen limits here; the
+    // broadcast plan-table join must both COMPLETE and keep the selection
+    // exact (k=2 of 3 per group)
+    val df = (0L until 30000L).map(i => (i, s"g${i % 10000}")).toDF("id", "g")
+    val sampled = GroupSample.sampleKPerGroup(df, "id", "g", k = 2, salt = "s2")
+    assert(sampled.count() == 20000L)
+    assert(sampled.groupBy("g").count().filter($"count" =!= 2).count() == 0)
+    // the guard fails loudly (bounded limit-collect, never a driver OOM)
+    val e = intercept[IllegalArgumentException] {
+      GroupSample.sampleKPerGroup(df, "id", "g", 2, "s2", maxGroups = 100)
+    }
+    assert(e.getMessage.contains("maxGroups") ||
+      e.getMessage.contains("distinct values"), e.getMessage)
+  }
+
   test("quantile gate keeps the top fraction with content-based ties") {
     import graft.pipeline.QuantileGate
     val scores = Seq((1L, 0.95), (2L, 0.90), (3L, 0.90), (4L, 0.50), (5L, 0.10))
@@ -527,8 +545,10 @@ class PipelineOpsSpec extends SparkSpec {
     val labels = Dedup.dupComponents((0L to 11L).toDF("doc_id"), "doc_id", chain)
     assert(labels.count() == 12)
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
-    // only the FINAL labels materialization may stay pinned (released on
-    // plan GC / clearCache per the Dedup cache contract)
+    // only the FINAL labels materialization may stay pinned — a
+    // localCheckpoint the SQL cache manager can't see, released on plan
+    // GC or an explicit RDD-level unpersist sweep (the Bench inter-query
+    // sweep; see the Dedup materialization contract)
     assert(added.size <= 1, s"leaked persisted RDDs: $added")
   }
 
