@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * is unbiased while one hot shingle can no longer explode a posting join.
   *
   * ==Materialization contract==
-  * [[jaccardPairs]], [[minhashDupPairs]] and [[dropDuplicateLines]]
-  * materialize one intermediate relation (the posting/line table) with an
+  * [[jaccardPairs]], [[minhashDupPairs]], [[dropDuplicateLines]],
+  * [[lshCandidatePairs]], [[simhashDupPairs]] and
+  * [[dupComponentsCollapsed]] materialize one intermediate relation (the
+  * posting/band/line/mapping table) with an
   * EAGER `localCheckpoint` — a job runs at operator-construction time —
   * because the returned plan consumes it from several branches (without
   * it the scan+shingle pipeline would run 3–4×). A `cache()` would keep
@@ -155,15 +157,49 @@ object Dedup {
 
   /** LSH banding: split the k-minhash signature into `bands` bands of
     * k/bands rows; docs colliding on any full band become candidates.
+    *
+    * ==Duplicate-class fan-out guard==
+    * A band bucket of m docs emits m·(m−1)/2 candidate pairs through the
+    * self-join, and identical/near-identical docs share EVERY band by
+    * design — one viral 100k-copy boilerplate page is 5×10⁹ pairs before
+    * any filter. `maxShingleDf` caps hot *shingles*, not hot *signatures*,
+    * so `maxBandBucket` makes the bucket contract explicit: any band
+    * bucket beyond the cap fails the job loudly on the offending key
+    * (executor-side `raise_error`, no driver pre-scan). The structural fix
+    * for large exact-duplicate classes is [[dupComponentsCollapsed]] —
+    * pre-collapse key-equal docs so a class contributes ONE signature;
+    * after that, surviving buckets hold genuinely distinct near-dup
+    * content and the cap only trips on contracts worth failing. The guard
+    * costs one map-side-combined count over the banded postings and a
+    * broadcast join of the (expected-empty) oversize set, applied to one
+    * join side only — a hot bucket always trips it there. The banded
+    * relation is materialized (eager `localCheckpoint`, see the
+    * materialization contract) so the signature pipeline runs once, not
+    * once per consumer.
     */
-  def lshCandidatePairs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, k: Int, bands: Int,
+      maxBandBucket: Long = 100000L): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    require(maxBandBucket > 1, s"maxBandBucket=$maxBandBucket must be > 1")
     val r = k / bands
     val bandHashes = array((0 until bands).map(b =>
       struct(lit(b).as("band"), xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
     val exploded = sigs.select(col("id"), explode(bandHashes).as("e"))
       .select(col("id"), col("e.band"), col("e.bh"))
-    exploded.as("x").join(exploded.as("y"), Seq("band", "bh"))
+      .localCheckpoint()
+    val oversize = exploded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBandBucket)
+    val guarded = exploded.join(broadcast(oversize), Seq("band", "bh"), "left")
+      .select(col("id"), col("band"),
+        when(col("_bc").isNull, col("bh")).otherwise(raise_error(concat(
+          lit(s"lshCandidatePairs: a band bucket holds more docs than " +
+            s"maxBandBucket=$maxBandBucket (band="), col("band"),
+          lit(", size="), col("_bc"),
+          lit(") — the self-join would emit O(size²) candidate pairs; " +
+            "pre-collapse exact duplicates (Dedup.dupComponentsCollapsed) " +
+            "or raise maxBandBucket")))).as("bh"))
+    guarded.as("x").join(exploded.as("y"), Seq("band", "bh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
@@ -182,7 +218,8 @@ object Dedup {
     */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minJaccard: Double,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue,
+      maxBandBucket: Long = 100000L): DataFrame = {
     val sh = shingleIds(docs, idCol, textCol, n).localCheckpoint()
     // hot-shingle set is tiny by definition (few shingles exceed the cap) —
     // broadcast anti-join, no extra shuffle of the posting table
@@ -192,7 +229,8 @@ object Dedup {
         broadcast(sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf).select("shingle")),
         Seq("shingle"), "left_anti")
-    val cands = lshCandidatePairs(minhashSignatures(shBand, k), k, bands)
+    val cands = lshCandidatePairs(minhashSignatures(shBand, k), k, bands,
+      maxBandBucket)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // restrict posting join to candidate docs, then exact-verify
     val candDocs = cands.select(col("id_a").as("id"))
@@ -243,16 +281,35 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 16):
     * 4×16-bit band blocking (pigeonhole: any pair within Hamming 3 shares
     * at least one band), exact `bit_count` verification on candidates.
+    * `maxBandBucket` is the same duplicate-class fan-out guard as
+    * [[lshCandidatePairs]] — identical docs share all four bands, so an
+    * uncollapsed viral class would emit O(m²) candidates; the banded
+    * relation is materialized once (eager `localCheckpoint`) and the
+    * expected-empty oversize set broadcasts onto one join side.
     */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, tokenHash: Column => Column = xxTokenHash): DataFrame = {
+      maxHamming: Int, tokenHash: Column => Column = xxTokenHash,
+      maxBandBucket: Long = 100000L): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for Hamming <= 3")
+    require(maxBandBucket > 1, s"maxBandBucket=$maxBandBucket must be > 1")
     val sigs = simhash(docs, idCol, textCol, tokenHash)
     val bandArr = array((0 until 4).map(b => struct(lit(b).as("band"),
       col("simhash").bitwiseAND(lit(0xffffL << (16 * b))).as("bv"))): _*)
     val banded = sigs.select(col("id"), col("simhash"), explode(bandArr).as("e"))
       .select(col("id"), col("simhash"), col("e.band"), col("e.bv"))
-    banded.as("x").join(banded.as("y"), Seq("band", "bv"))
+      .localCheckpoint()
+    val oversize = banded.groupBy("band", "bv")
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBandBucket)
+    val guarded = banded.join(broadcast(oversize), Seq("band", "bv"), "left")
+      .select(col("id"), col("simhash"), col("band"),
+        when(col("_bc").isNull, col("bv")).otherwise(raise_error(concat(
+          lit(s"simhashDupPairs: a band bucket holds more docs than " +
+            s"maxBandBucket=$maxBandBucket (band="), col("band"),
+          lit(", size="), col("_bc"),
+          lit(") — pre-collapse exact duplicates " +
+            "(Dedup.dupComponentsCollapsed) or raise maxBandBucket")))).as("bv"))
+    guarded.as("x").join(banded.as("y"), Seq("band", "bv"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
@@ -354,12 +411,75 @@ object Dedup {
     labels
   }
 
-  /** Release the block-manager storage behind a `localCheckpoint`ed
-    * DataFrame (or one derived from it by projections). `Dataset.unpersist`
-    * only talks to the SQL cache manager and never touches RDD-level
-    * checkpoint blocks, so the loop above would otherwise pin one
-    * O(#docs) copy of the labels per round until session GC.
+  /** [[dupComponents]] with exact-duplicate PRE-COLLAPSE — the structural
+    * guard against the quadratic candidate-pair blowup of a viral
+    * duplicate class. Identical docs share every LSH band / SRP bucket by
+    * design, so pair generation over the raw corpus materializes
+    * m·(m−1)/2 candidates for an m-copy class (a 100k-copy boilerplate
+    * page is 5×10⁹ pairs). Here the corpus is first collapsed by an exact
+    * content key: one REPRESENTATIVE (min id) per key-equal class runs
+    * through the caller-supplied pair pipeline and label propagation, and
+    * the labels are expanded back over the id→rep mapping — an m-copy
+    * class costs O(m), never O(m²).
+    *
+    * `classKey` must be a deterministic pure function of row content such
+    * that key-equal rows are exact duplicates under the pair pipeline's
+    * own similarity (e.g. [[graft.text.TextAnalysis.fingerprint]] for
+    * token-based pipelines — fingerprint-equal texts tokenize
+    * identically — or the embedding column itself for vector pipelines),
+    * and must be non-null. Then the result is IDENTICAL to
+    * `dupComponents(docs, idCol, pairsOf(docs))` whenever the pair
+    * pipeline (a) emits every exact-duplicate pair (Jaccard/cosine = 1 ≥
+    * any threshold ≤ 1) and (b) is content-determined (key-equal docs get
+    * identical signatures/buckets, so cross-class edges exist between
+    * members iff they exist between representatives): every class member
+    * joins its rep's component, and the rep already carries the
+    * class-minimal id, so each component's min-id label is unchanged.
+    *
+    * The class reduction is the same skew-proof min-aggregate + equi-join
+    * shape as [[exact]] (map-side-combined MIN partials — a hot class
+    * never funnels one task). The KEYED corpus is materialized once
+    * (eager `localCheckpoint`, see the materialization contract): the
+    * class mapping, the representative slice, the pair pipeline's posting
+    * scan, and the label seed all read the flat checkpoint instead of
+    * re-scanning and re-keying the input — and the keyed corpus is no
+    * bigger than the posting tables those consumers would otherwise each
+    * rebuild it from.
     */
+  def dupComponentsCollapsed(docs: DataFrame, idCol: String, classKey: Column,
+      pairsOfReps: DataFrame => DataFrame, maxIter: Int = 25): DataFrame = {
+    val clash = docs.columns.toSet.intersect(Set("_ck", "_rep"))
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(",")} are reserved by dupComponentsCollapsed")
+    val keyed = docs.withColumn("_ck", classKey).localCheckpoint()
+    val keep = keyed.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
+    val reps = keyed
+      .join(keep.withColumnRenamed("_rep", idCol), Seq("_ck", idCol), "left_semi")
+      .drop("_ck")
+    val comp = dupComponents(reps, idCol, pairsOfReps(reps), maxIter)
+    keyed.select(col(idCol).as("id"), col("_ck"))
+      .join(keep, "_ck")
+      .select(col("id"), col("_rep"))
+      .join(comp.withColumnRenamed("id", "_rep"), "_rep")
+      .select("id", "cluster")
+  }
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * DataFrame (or one derived from it by projections/joins — every
+    * `LogicalRDD` in the plan is unpersisted). `Dataset.unpersist` only
+    * talks to the SQL cache manager and never touches RDD-level
+    * checkpoint blocks, so without this the label-propagation loop would
+    * pin one O(#docs) copy per round until session GC. PUBLIC because the
+    * materialization contract pins posting/band/mapping tables for the
+    * life of a returned plan: a caller that is finished with an
+    * operator's result (or a bench harness between timed queries) calls
+    * this on the result to free them deterministically instead of
+    * waiting for ContextCleaner plan-GC. Safe only once no further
+    * action will touch the plan — checkpointed lineage is truncated and
+    * cannot be recomputed.
+    */
+  def releaseLocalCheckpoints(df: DataFrame): Unit = freeLocalCheckpoint(df)
+
   private def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

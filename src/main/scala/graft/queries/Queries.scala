@@ -336,13 +336,16 @@ object Queries {
     * doc; survivors are the rows with doc_id == cluster_id. The oracle
     * recomputes the exact transitive closure with a recursive CTE.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val corpus = dupCorpus(s, dir)
-    val pairs = graft.dedup.Dedup.minhashDupPairs(corpus, "doc_id", "text",
-      n = 3, k = 32, bands = 16, minJaccard = 0.8)
-    graft.dedup.Dedup.dupComponents(corpus, "doc_id", pairs)
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // exact-duplicate classes collapse to one representative BEFORE pair
+    // generation (Dedup.dupComponentsCollapsed): identical labels, but a
+    // viral m-copy class costs O(m) instead of m²/2 LSH candidate pairs —
+    // the corpus's injected exact copies exercise the collapse path
+    graft.dedup.Dedup.dupComponentsCollapsed(dupCorpus(s, dir), "doc_id",
+      graft.text.TextAnalysis.fingerprint(col("text")),
+      reps => graft.dedup.Dedup.minhashDupPairs(reps, "doc_id", "text",
+        n = 3, k = 32, bands = 16, minJaccard = 0.8))
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
-  }
 
   /** Survivor selection per near-dup cluster — the keep-rule AFTER
     * cluster formation (FineWeb-style: keep the highest-QUALITY copy, not
@@ -354,9 +357,10 @@ object Queries {
     */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(s, dir)
-    val pairs = graft.dedup.Dedup.minhashDupPairs(corpus, "doc_id", "text",
-      n = 3, k = 32, bands = 16, minJaccard = 0.8)
-    val clusters = graft.dedup.Dedup.dupComponents(corpus, "doc_id", pairs)
+    val clusters = graft.dedup.Dedup.dupComponentsCollapsed(corpus, "doc_id",
+      graft.text.TextAnalysis.fingerprint(col("text")),
+      reps => graft.dedup.Dedup.minhashDupPairs(reps, "doc_id", "text",
+        n = 3, k = 32, bands = 16, minJaccard = 0.8))
     val scored = corpus.select(col("doc_id").as("id"),
       graft.text.TextAnalysis.quality(col("text")).getField("quality").as("q"))
     clusters.join(scored, "id")
@@ -403,6 +407,31 @@ object Queries {
     graft.dedup.Dedup.dropDuplicateLines(pages, "page_id", "text", minDf = 2)
       .select(col("id").as("page_id"), col("n_kept"), col("n_dropped"),
         col("text_clean"))
+  }
+
+  /** Exact repeated-substring spans (suffix-array-style dedup, Lee et al.
+    * 2022) at k=8 tokens over documents + planted repeats: +40000 = every
+    * 10th doc with a fresh leading token (the original becomes fully
+    * covered; the copy's first window is unique, so its span starts one
+    * position in — exercising partial coverage), +50000 = every 13th doc
+    * self-concatenated (within-doc repetition, the suffix-array semantics
+    * LSH/minhash can't see). Organic 8-gram repeats in the synthetic
+    * vocabulary exercise the cross-doc path too. The oracle replays the
+    * rolling windows on gram STRINGS (the engine matches 64-bit hashes —
+    * the shingleIds collision contract) and the gaps-and-islands span
+    * arithmetic with window functions.
+    */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select("doc_id", "text")
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(lit("prefixtoken "), col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+    graft.dedup.SubstringDedup.repeatedSpans(corpus, "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
   }
 
   /** Deterministic salted train/val/test split (80/10/10 per-mille) over
@@ -673,9 +702,13 @@ object Queries {
     val e = embeddings(s, dir).select("vec_id", "embedding")
     val corpus = e.unionByName(e.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val pairs = graft.sim.Ann.cosineDupPairs(corpus, "vec_id", "embedding",
-      minSim = 0.999999)
-    graft.dedup.Dedup.dupComponents(corpus, "vec_id", pairs)
+    // exact-identical vectors collapse (class key = the vector itself)
+    // before the SRP-bucket self-join — identical labels, O(m) per m-copy
+    // class; the planted exact copies exercise the collapse path
+    graft.dedup.Dedup.dupComponentsCollapsed(corpus, "vec_id",
+      col("embedding"),
+      reps => graft.sim.Ann.cosineDupPairs(reps, "vec_id", "embedding",
+        minSim = 0.999999))
       .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
   }
 
@@ -751,6 +784,7 @@ object Queries {
     "dedup_survivors" -> dedupSurvivors _,
     "decontaminate" -> decontaminate _,
     "line_dedup" -> lineDedup _,
+    "substring_dedup" -> substringDedup _,
     "hash_split" -> hashSplit _,
     "curate" -> curate _,
     "pack_sequences" -> packSequences _,
@@ -916,6 +950,7 @@ object Queries {
         |  AND e.ts_sec >= i.start_sec AND e.ts_sec <= i.end_sec""".stripMargin,
     "decontaminate" -> decontaminateOracle,
     "line_dedup" -> lineDedupOracle,
+    "substring_dedup" -> substringDedupOracle,
     "hash_split" -> hashSplitOracle,
     "curate" -> curateOracle,
     "pack_sequences" -> packSequencesOracle,
@@ -1293,6 +1328,43 @@ object Queries {
        |  UNION
        |  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON reach.id = e.src)
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
+  /** Repeated-substring oracle: replays the k=8 rolling windows on gram
+    * STRINGS (engine matches xxhash64 of the same strings), the corpus-
+    * wide occurrence threshold, and the merged-span arithmetic — lag-based
+    * gaps-and-islands instead of the engine's per-doc HOF fold, same
+    * formulas: covered = k + Σ min(gap, k), spans = 1 + |gap > k|.
+    */
+  private def substringDedupOracle: String =
+    s"""WITH scorpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 40000, 'prefixtoken ' || text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 50000, text || ' ' || text FROM documents WHERE doc_id % 13 = 0),
+       |stoks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS t
+       |  FROM scorpus),
+       |sgrams AS (
+       |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+       |      i -> {'pos': i - 1, 'g': array_to_string(t[i:i+7], ' ')})) AS u
+       |    FROM stoks WHERE len(t) >= 8)),
+       |hot AS (SELECT g FROM sgrams GROUP BY g HAVING count(*) >= 2),
+       |dup AS (SELECT doc_id, pos FROM sgrams WHERE g IN (SELECT g FROM hot)),
+       |gaps AS (
+       |  SELECT doc_id, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS d
+       |  FROM dup),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(8 + sum(CASE WHEN d IS NULL THEN 0 ELSE least(d, 8) END) AS BIGINT) AS dup_tokens,
+       |    CAST(1 + sum(CASE WHEN d > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+       |  FROM gaps GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS total_tokens FROM stoks)
+       |SELECT tot.doc_id, tot.total_tokens,
+       |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+       |  coalesce(a.n_spans, 0) AS n_spans
+       |FROM tot LEFT JOIN agg a ON a.doc_id = tot.doc_id""".stripMargin
 
   /** toks+grams CTE pair over a (doc_id, text) relation `src` — the same
     * tokenizer/gram rule as [[jaccardCtes]] generalized to any n and

@@ -199,13 +199,38 @@ object Ann {
   /** Embedding near-duplicate pairs: SRP-bucket join (exact bucket match)
     * then exact cosine >= minSim verification — the embedding analog of
     * MinHash-LSH dedup.
+    *
+    * `maxBucket` is the duplicate-class fan-out guard (the
+    * [[graft.dedup.Dedup.lshCandidatePairs]] contract): identical vectors
+    * share their SRP bucket by design, so an uncollapsed m-copy class
+    * emits m·(m−1)/2 pairs through the self-join — any bucket beyond the
+    * cap fails the job loudly on the offending key (executor-side
+    * `raise_error`; pre-collapse exact-identical vectors with
+    * [[graft.dedup.Dedup.dupComponentsCollapsed]] keyed on the vector
+    * column for the O(m) path). The bucketed relation is materialized
+    * (eager `localCheckpoint`) so the `nPlanes`-hyperplane fold — an
+    * interpreted HOF, the expensive part — runs once, not once per join
+    * side.
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+      minSim: Double, nPlanes: Int = 12, dim: Int = 64,
+      maxBucket: Long = 100000L): DataFrame = {
+    require(maxBucket > 1, s"maxBucket=$maxBucket must be > 1")
     val ps = planes(nPlanes, dim)
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", srpBucket(col("v"), ps))
-    b.as("x").join(b.as("y"), Seq("bucket"))
+      .localCheckpoint()
+    val oversize = b.groupBy("bucket").agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucket)
+    val guarded = b.join(broadcast(oversize), Seq("bucket"), "left")
+      .select(col("id"), col("v"),
+        when(col("_bc").isNull, col("bucket")).otherwise(raise_error(concat(
+          lit(s"cosineDupPairs: an SRP bucket holds more vectors than " +
+            s"maxBucket=$maxBucket (size="), col("_bc"),
+          lit(") — the self-join would emit O(size²) pairs; pre-collapse " +
+            "exact-identical vectors (Dedup.dupComponentsCollapsed on the " +
+            "vector column) or raise maxBucket")))).as("bucket"))
+    guarded.as("x").join(b.as("y"), Seq("bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         cosine(col("x.v"), col("y.v")).as("sim"))

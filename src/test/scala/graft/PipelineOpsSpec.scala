@@ -256,6 +256,127 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.filter { case (id, c) => id == c }.keySet == Set(1L, 4L, 5L, 7L))
   }
 
+  test("collapsed dup components equal the uncollapsed labels") {
+    def pairsOf(d: DataFrame) = Dedup.minhashDupPairs(d, "doc_id", "text",
+      n = 3, k = 32, bands = 16, minJaccard = 0.8)
+    val collapsed = Dedup.dupComponentsCollapsed(corpus, "doc_id",
+      TextAnalysis.fingerprint($"text"), pairsOf)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.dupComponents(corpus, "doc_id", pairsOf(corpus))
+      .as[(Long, Long)].collect().toMap
+    assert(collapsed == full, "collapse must not change any cluster label")
+  }
+
+  test("a 10k-copy duplicate class runs O(m) through the collapsed path") {
+    // 10,000 identical copies of one page: uncollapsed LSH banding would
+    // enumerate ~5x10^7 candidate pairs. Collapsed, the class contributes
+    // ONE representative — proven by maxBandBucket=8, which would raise on
+    // any band bucket of >8 docs reaching the self-join.
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val viral = (0L until 10000L).map(i =>
+      (i, "the same viral boilerplate page text repeated across the crawl"))
+    val rest = Seq((20000L, base), (20001L, base + " thirteen"),
+      (30000L, "another unrelated text mentioning stars planets comets orbits"))
+    val docs10k = (viral ++ rest).toDF("doc_id", "text")
+    val labels = Dedup.dupComponentsCollapsed(docs10k, "doc_id",
+      TextAnalysis.fingerprint($"text"),
+      reps => Dedup.minhashDupPairs(reps, "doc_id", "text",
+        n = 3, k = 32, bands = 16, minJaccard = 0.8, maxBandBucket = 8))
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 10003)
+    assert((0L until 10000L).forall(labels(_) == 0L),
+      "every copy must join the representative's cluster (min id 0)")
+    // near-dup family (J = 10/11) still clusters; isolated doc stays put
+    assert(labels(20000L) == 20000L && labels(20001L) == 20000L)
+    assert(labels(30000L) == 30000L)
+  }
+
+  test("band/bucket fan-out guards fail loudly on uncollapsed dup classes") {
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    def msg(t: Throwable): String =
+      causes(t).flatMap(c => Option(c.getMessage)).mkString
+    val viral = (0L until 50L)
+      .map(i => (i, "the same text here repeated again and again"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[Exception] {
+      Dedup.minhashDupPairs(viral, "doc_id", "text", n = 3, k = 32,
+        bands = 16, minJaccard = 0.8, maxBandBucket = 10).count()
+    }
+    assert(msg(e1).contains("lshCandidatePairs"), s"wrong error: $e1")
+    val e2 = intercept[Exception] {
+      Dedup.simhashDupPairs(viral, "doc_id", "text", maxHamming = 3,
+        maxBandBucket = 10).count()
+    }
+    assert(msg(e2).contains("simhashDupPairs"), s"wrong error: $e2")
+    // 30 planted copies of one embedding share their SRP bucket
+    val dupVecs = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1000L), lit(1029L))).as("vec_id"),
+        $"embedding")
+    val e3 = intercept[Exception] {
+      Ann.cosineDupPairs(dupVecs, "vec_id", "embedding", minSim = 0.9,
+        maxBucket = 10).count()
+    }
+    assert(msg(e3).contains("cosineDupPairs"), s"wrong error: $e3")
+    // the same corpora pass under the default cap
+    assert(Dedup.minhashDupPairs(viral, "doc_id", "text", 3, 32, 16, 0.8)
+      .count() == 50L * 49L / 2L)
+  }
+
+  test("substring dedup matches hand-computed spans (k=4)") {
+    import graft.dedup.SubstringDedup
+    // d1/d2 share "a b c d" and "b c d e" (cross-doc, overlapping windows
+    // merge into one span); d3 repeats its own 4-gram "p q r s" at a gap
+    // > k (two spans, within-doc); d4 is shorter than k (present, zero)
+    val docs4 = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d e w"),
+      (3L, "p q r s t u p q r s"),
+      (4L, "short one two")
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.repeatedSpans(docs4, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((6L, 5L, 1L)),   // starts {0,1}: tokens a..e covered
+      2L -> ((7L, 5L, 1L)),   // starts {1,2}: tokens a..e covered
+      3L -> ((10L, 8L, 2L)),  // starts {0,6}: two disjoint 4-token spans
+      4L -> ((3L, 0L, 0L))), s"got $got")
+  }
+
+  test("substring dedup matches a reference coverage implementation") {
+    import graft.dedup.SubstringDedup
+    // reference computes MATERIALIZED covered-position sets and counts
+    // maximal runs — independent of the engine's gap-arithmetic formula
+    val k = 4
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus6 = (0L until 60L).map { i =>
+      val n = 3 + rnd.nextInt(30)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val counts = corpus6.flatMap { case (_, t) =>
+      val tk = t.split(" ").toSeq
+      (0 to tk.size - k).map(p => tk.slice(p, p + k).mkString(" "))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = corpus6.map { case (id, t) =>
+      val tk = t.split(" ").toSeq
+      val ps = (0 to tk.size - k)
+        .filter(p => counts(tk.slice(p, p + k).mkString(" ")) >= 2)
+      val covered = ps.flatMap(p => p until p + k).toSet
+      val runs =
+        if (covered.isEmpty) 0
+        else 1 + covered.toSeq.sorted.sliding(2)
+          .count { case Seq(a, b) => b > a + 1; case _ => false }
+      id -> ((tk.size.toLong, covered.size.toLong, runs.toLong))
+    }.toMap
+    val got = SubstringDedup
+      .repeatedSpans(corpus6.toDF("doc_id", "text"), "doc_id", "text", k)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+  }
+
   test("decontaminate flags n-gram overlap with the benchmark set only") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corp = Seq(

@@ -175,6 +175,12 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must not global-sort:\n$p")
   }
 
+  test("substring dedup semi-joins on the gram hash, no cartesian") {
+    val p = plan(Queries.substringDedup(spark, sfDir))
+    assert(p.contains("LeftSemi"), s"expected semi-join on hot grams:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in substring_dedup:\n$p")
+  }
+
   test("line dedup anti-joins on the hashed line key, no cartesian") {
     val p = plan(Queries.lineDedup(spark, sfDir))
     assert(p.contains("LeftAnti"), s"expected anti-join:\n$p")
