@@ -48,20 +48,17 @@ object SubstringDedup {
         i => xxhash64(concat_ws(" ", slice(t, i, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
 
-  /** Per-doc repeated-substring span report:
-    * (id, total_tokens, dup_tokens, n_spans) for EVERY input doc —
-    * docs shorter than k tokens (or with no repeated window) report
-    * zero spans. `k` is the window length in tokens (Lee et al. use 50;
-    * pick per-corpus), `minCount` the corpus-wide occurrence threshold.
+  /** One row per token START position of every doc, keyed by the k-gram
+    * hash (short docs keep a null-gram row so they stay present in the
+    * per-doc totals), plus the duplicated start positions. The posting
+    * table is an eager `localCheckpoint` per the [[Dedup]] materialization
+    * contract — consumed by the occurrence count, the duplicate-position
+    * restriction, and the totals.
     */
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minCount: Long = 2L): DataFrame = {
+  private def dupStartTables(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long): (DataFrame, DataFrame) = {
     require(k >= 2, s"k=$k must be >= 2 (a 1-token window dedups vocabulary)")
     require(minCount >= 2, s"minCount=$minCount must be >= 2")
-    // one row per token START position; short docs keep a null-gram row so
-    // they stay present in the per-doc totals. Eager localCheckpoint per
-    // the Dedup materialization contract — consumed by the occurrence
-    // count, the duplicate-position aggregation, and the totals.
     val grams = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col("id"), size(col("_t")).cast("long").as("total_tokens"),
@@ -73,7 +70,19 @@ object SubstringDedup {
       .groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select("g")
-    val dupPs = grams.join(hot, Seq("g"), "left_semi")
+    (grams, grams.join(hot, Seq("g"), "left_semi").select("id", "pos"))
+  }
+
+  /** Per-doc repeated-substring span report:
+    * (id, total_tokens, dup_tokens, n_spans) for EVERY input doc —
+    * docs shorter than k tokens (or with no repeated window) report
+    * zero spans. `k` is the window length in tokens (Lee et al. use 50;
+    * pick per-corpus), `minCount` the corpus-wide occurrence threshold.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 2L): DataFrame = {
+    val (grams, starts) = dupStartTables(docs, idCol, textCol, k, minCount)
+    val dupPs = starts
       .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("_ps"))
     // consecutive-position gaps; guarded so a single-element list never
     // builds sequence(1, 0), which counts DOWNWARD
@@ -89,5 +98,45 @@ object SubstringDedup {
             (acc, d) => acc + least(d, lit(k)).cast("long"))).as("dup_tokens"),
         when(col("_ps").isNull, lit(0L)).otherwise(
           size(filter(diffs, d => d > k)) + 1).cast("long").as("n_spans"))
+  }
+
+  /** The Lee et al. CUT policy: remove every duplicated span and return
+    * the surviving text — (id, total_tokens, kept_tokens, text_clean) for
+    * EVERY input doc (a doc that was entirely repeats comes back with an
+    * empty text_clean, the [[Dedup.dropDuplicateLines]] contract). The cut
+    * is token-level: survivors re-join with single spaces — the
+    * normalization-losing but engine-portable reconstruction (cutting raw
+    * bytes would need tokenizer byte offsets, which `split` discards).
+    *
+    * Shape: duplicated starts explode to their k covered positions
+    * (bounded k× fan-out of the duplicate starts only), distinct, then an
+    * anti-join drops covered (id, pos) token rows and the survivors
+    * reassemble per doc exactly like [[Dedup.dropDuplicateLines]] — sort
+    * of (pos, token) structs inside one aggregation, state bounded by the
+    * doc's own length. Every join keys on (id, pos) — no string shuffles
+    * except the final token reassembly, which ships each surviving token
+    * once.
+    */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 2L): DataFrame = {
+    val (grams, starts) = dupStartTables(docs, idCol, textCol, k, minCount)
+    val covered = starts
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("id"), posexplode_outer(col("_t")).as(Seq("pos", "tok")))
+    val rebuilt = toks.filter(col("tok").isNotNull)
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id").agg(
+        count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("text_clean"))
+    grams.groupBy("id").agg(max("total_tokens").as("total_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("total_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 }

@@ -421,18 +421,31 @@ object Queries {
     * the shingleIds collision contract) and the gaps-and-islands span
     * arithmetic with window functions.
     */
-  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+  private def substringCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir).select("doc_id", "text")
-    val corpus = docs
+    docs
       .unionByName(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 40000).as("doc_id"),
           concat(lit("prefixtoken "), col("text")).as("text")))
       .unionByName(docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 50000).as("doc_id"),
           concat(col("text"), lit(" "), col("text")).as("text")))
-    graft.dedup.SubstringDedup.repeatedSpans(corpus, "doc_id", "text", k = 8)
-      .withColumnRenamed("id", "doc_id")
   }
+
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SubstringDedup.repeatedSpans(substringCorpus(s, dir),
+      "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+
+  /** The cut policy over the same corpus/k: duplicated spans removed,
+    * survivors re-joined token-level — the actionable output of
+    * [[substringDedup]]'s report. Oracle replays covered-position
+    * expansion + anti-join + ordered string_agg reassembly.
+    */
+  def substringCut(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SubstringDedup.cutSpans(substringCorpus(s, dir),
+      "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
 
   /** Deterministic salted train/val/test split (80/10/10 per-mille) over
     * document ids — every row's bucket and split are content-independent
@@ -785,6 +798,7 @@ object Queries {
     "decontaminate" -> decontaminate _,
     "line_dedup" -> lineDedup _,
     "substring_dedup" -> substringDedup _,
+    "substring_cut" -> substringCut _,
     "hash_split" -> hashSplit _,
     "curate" -> curate _,
     "pack_sequences" -> packSequences _,
@@ -951,6 +965,7 @@ object Queries {
     "decontaminate" -> decontaminateOracle,
     "line_dedup" -> lineDedupOracle,
     "substring_dedup" -> substringDedupOracle,
+    "substring_cut" -> substringCutOracle,
     "hash_split" -> hashSplitOracle,
     "curate" -> curateOracle,
     "pack_sequences" -> packSequencesOracle,
@@ -1335,8 +1350,12 @@ object Queries {
     * gaps-and-islands instead of the engine's per-doc HOF fold, same
     * formulas: covered = k + Σ min(gap, k), spans = 1 + |gap > k|.
     */
-  private def substringDedupOracle: String =
-    s"""WITH scorpus AS (
+  /** Shared rolling-window CTE chain for the substring-dedup oracles:
+    * corpus with planted repeats → tokens → positional 8-gram strings →
+    * corpus-frequent grams → duplicated (doc, start-position) rows.
+    */
+  private def substringCtes: String =
+    s"""scorpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 40000, 'prefixtoken ' || text FROM documents WHERE doc_id % 10 = 0
@@ -1351,7 +1370,10 @@ object Queries {
        |      i -> {'pos': i - 1, 'g': array_to_string(t[i:i+7], ' ')})) AS u
        |    FROM stoks WHERE len(t) >= 8)),
        |hot AS (SELECT g FROM sgrams GROUP BY g HAVING count(*) >= 2),
-       |dup AS (SELECT doc_id, pos FROM sgrams WHERE g IN (SELECT g FROM hot)),
+       |dup AS (SELECT doc_id, pos FROM sgrams WHERE g IN (SELECT g FROM hot))""".stripMargin
+
+  private def substringDedupOracle: String =
+    s"""WITH $substringCtes,
        |gaps AS (
        |  SELECT doc_id, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS d
        |  FROM dup),
@@ -1365,6 +1387,33 @@ object Queries {
        |  coalesce(a.dup_tokens, 0) AS dup_tokens,
        |  coalesce(a.n_spans, 0) AS n_spans
        |FROM tot LEFT JOIN agg a ON a.doc_id = tot.doc_id""".stripMargin
+
+  /** Cut oracle: covered-position expansion, anti-join, ordered
+    * reassembly — the engine's join pipeline replayed relationally.
+    */
+  private def substringCutOracle: String =
+    s"""WITH $substringCtes,
+       |covered AS (
+       |  SELECT DISTINCT doc_id, u AS pos FROM (
+       |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS u FROM dup)),
+       |ptoks AS (
+       |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+       |      i -> {'pos': i - 1, 'tok': t[i]})) AS u
+       |    FROM stoks WHERE len(t) > 0)),
+       |kept AS (
+       |  SELECT p.doc_id, p.pos, p.tok FROM ptoks p
+       |  LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.pos = p.pos
+       |  WHERE c.doc_id IS NULL),
+       |reb AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+       |    string_agg(tok, ' ' ORDER BY pos) AS text_clean
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS total_tokens FROM stoks)
+       |SELECT tot.doc_id, tot.total_tokens,
+       |  coalesce(r.kept_tokens, 0) AS kept_tokens,
+       |  coalesce(r.text_clean, '') AS text_clean
+       |FROM tot LEFT JOIN reb r ON r.doc_id = tot.doc_id""".stripMargin
 
   /** toks+grams CTE pair over a (doc_id, text) relation `src` — the same
     * tokenizer/gram rule as [[jaccardCtes]] generalized to any n and

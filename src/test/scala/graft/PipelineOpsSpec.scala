@@ -344,6 +344,26 @@ class PipelineOpsSpec extends SparkSpec {
       4L -> ((3L, 0L, 0L))), s"got $got")
   }
 
+  test("substring cut removes covered spans, keeps order, empties survive") {
+    import graft.dedup.SubstringDedup
+    val docs4 = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d e w"),
+      (3L, "p q r s t u p q r s"),
+      (4L, "short one two"),
+      (5L, "a b c d e a b c d e") // entirely covered -> empty text_clean
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.cutSpans(docs4, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((6L, 1L, "f")),
+      2L -> ((7L, 2L, "z w")),
+      3L -> ((10L, 2L, "t u")),
+      4L -> ((3L, 3L, "short one two")),
+      5L -> ((10L, 0L, ""))), s"got $got")
+  }
+
   test("substring dedup matches a reference coverage implementation") {
     import graft.dedup.SubstringDedup
     // reference computes MATERIALIZED covered-position sets and counts
