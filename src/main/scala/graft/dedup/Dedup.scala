@@ -37,7 +37,15 @@ import org.apache.spark.sql.functions._
   * The RETURNED DataFrame references the checkpoint, so the operator
   * cannot free it itself; blocks are released when the result's plan is
   * garbage-collected (Spark's ContextCleaner) — bounded by one posting
-  * table per in-flight result, not by session lifetime.
+  * table per in-flight result, not by session lifetime — or
+  * deterministically by the caller via [[releaseLocalCheckpoints]] once
+  * no further action will touch the plan (the bench harness instead
+  * sweeps all RDD-level persists between timed queries). Eager (not
+  * lazy) is deliberate: these relations feed SEVERAL branches of the
+  * first downstream job, and concurrent stages racing an unmaterialized
+  * lazy checkpoint compute the upstream pipeline once per branch — the
+  * cost is that plan-only callers (plan audits) pay the materialization
+  * at construction time, which is the cheaper side of the trade.
   * [[dupComponents]] additionally frees each superseded per-round
   * checkpoint itself (including on failure paths) and leaves only the
   * final labels materialization pinned (O(#docs) rows).
