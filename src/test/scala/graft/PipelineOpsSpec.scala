@@ -323,6 +323,33 @@ class PipelineOpsSpec extends SparkSpec {
       .count() == 50L * 49L / 2L)
   }
 
+  test("collapsed components equal uncollapsed on random duplicated corpora") {
+    // randomized check of the central equivalence claim behind
+    // dupComponentsCollapsed: random docs from a tiny vocabulary (organic
+    // near-dups), plus injected exact-copy classes of random size — the
+    // collapse must reproduce the uncollapsed labels bit-for-bit
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (round <- 0 until 3) {
+      val base = (0L until 40L).map { i =>
+        val n = 4 + rnd.nextInt(12)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val copies = base.filter(_ => rnd.nextBoolean()).flatMap { case (i, t) =>
+        (1 to 1 + rnd.nextInt(3)).map(c => (i + 100L * c + 1000L * round, t))
+      }
+      val df = (base ++ copies).toDF("doc_id", "text")
+      def pairsOf(d: DataFrame) = Dedup.minhashDupPairs(d, "doc_id", "text",
+        n = 2, k = 16, bands = 8, minJaccard = 0.7)
+      val collapsed = Dedup.dupComponentsCollapsed(df, "doc_id",
+        TextAnalysis.fingerprint($"text"), pairsOf)
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.dupComponents(df, "doc_id", pairsOf(df))
+        .as[(Long, Long)].collect().toMap
+      assert(collapsed == full, s"round $round: collapse changed labels")
+    }
+  }
+
   test("substring dedup matches hand-computed spans (k=4)") {
     import graft.dedup.SubstringDedup
     // d1/d2 share "a b c d" and "b c d e" (cross-doc, overlapping windows
