@@ -684,6 +684,20 @@ object Queries {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     graft.sim.Ann.ivfTopK(embeddings(s, dir), "vec_id", "embedding", 0L, 10)
 
+  /** kNN self-join: top-5 SRP-probe neighbors for every 25th vector
+    * against the full corpus — the neighbor-graph builder
+    * ([[graft.sim.Ann.knnJoin]]). Fully oracle-checked like [[annLsh]]:
+    * deterministic hyperplanes inlined, the oracle recomputes buckets,
+    * Hamming-1 probe candidates, exact cosines, and the per-query rank.
+    */
+  def annKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select("vec_id", "embedding")
+    graft.sim.Ann.knnJoin(e.filter(col("vec_id") % 25 === 0), e,
+      "vec_id", "embedding", k = 5)
+      .select(col("id").as("vec_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** L2 norms of all embeddings (array-fold parity query). */
   def embedNorms(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).select(col("vec_id"),
@@ -817,6 +831,7 @@ object Queries {
     "ann_bruteforce" -> annBruteForce _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
+    "ann_knn_join" -> annKnnJoin _,
     "embed_norms" -> embedNorms _,
     "embed_dup_pairs" -> embedDupPairs _,
     "embed_dup_clusters" -> embedDupClusters _,
@@ -1092,6 +1107,7 @@ object Queries {
         |FROM documents""".stripMargin,
     "quality_gate" -> qualityGateOracle,
     "ann_lsh" -> lshOracle,
+    "ann_knn_join" -> knnJoinOracle,
     "ann_ivf" -> ivfOracle,
     "ann_bruteforce" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -1175,6 +1191,37 @@ object Queries {
     * ann_bruteforce hash-match), the Hamming≤1 multi-probe candidate set,
     * and exact cosine sims.
     */
+  /** kNN-join oracle: the [[lshOracle]] machinery generalized from one
+    * query to the %25 query subset — buckets from inlined hyperplane
+    * literals, Hamming-1 probe candidates, exact cosines, per-query
+    * row_number rank ("rank" quoted — reserved in DuckDB).
+    */
+  private def knnJoinOracle: String = {
+    val ps = graft.sim.Ann.planes(8, 64)
+    val bucket = ps.zipWithIndex.map { case (w, p) =>
+      val arr = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id % 25 = 0),
+       |cand AS (
+       |  SELECT q.qid, b.vec_id AS neighbor_id,
+       |    list_dot_product(b.v, q.qv) /
+       |    (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+       |  FROM b, q
+       |  WHERE b.vec_id <> q.qid
+       |    AND bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= 1),
+       |rnk AS (
+       |  SELECT qid, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS r
+       |  FROM cand)
+       |SELECT qid AS vec_id, neighbor_id, sim, CAST(r AS BIGINT) AS "rank"
+       |FROM rnk WHERE r <= 5""".stripMargin
+  }
+
   private def lshOracle: String = {
     val ps = graft.sim.Ann.planes(8, 64)
     val bucket = ps.zipWithIndex.map { case (w, p) =>

@@ -196,6 +196,58 @@ object Ann {
       .limit(k)
   }
 
+  /** k-nearest-neighbor join over SRP probe buckets — the neighbor-graph
+    * builder (semantic clustering / graph-based dedup): for every QUERY
+    * vector, score only corpus vectors in its own bucket or any bucket at
+    * Hamming distance 1 (the [[lshTopK]] multi-probe rule, generalized
+    * from one query to a join) and keep the top `k` by (sim desc, id).
+    * Returns (id, neighbor_id, sim, rank), rank in [1, k].
+    *
+    * Scale shape: each query explodes to its 1 + nPlanes probe buckets
+    * (flip one sign bit each) and candidates come from one equi-join on
+    * the probed bucket — never an all-pairs scan. The per-query ranking
+    * window's input is only that query's probe candidates, bounded by
+    * (nPlanes + 1) · maxBucket thanks to the same oversize guard as
+    * [[cosineDupPairs]] (identical vectors share buckets by design —
+    * pre-collapse exact duplicates for the O(m) path). The bucketed
+    * corpus is materialized once (eager `localCheckpoint`) so the
+    * nPlanes-hyperplane fold runs once, not once per consumer.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
+      maxBucket: Long = 100000L): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(nPlanes > 0 && nPlanes < 63, s"nPlanes=$nPlanes out of range")
+    require(maxBucket > 1, s"maxBucket=$maxBucket must be > 1")
+    val ps = planes(nPlanes, dim)
+    val b = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+      .withColumn("_nb", srpBucket(col("_nv"), ps))
+      .localCheckpoint()
+    val oversize = b.groupBy("_nb").agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucket)
+    val guarded = b.join(broadcast(oversize), Seq("_nb"), "left")
+      .select(col("neighbor_id"), col("_nv"),
+        when(col("_bc").isNull, col("_nb")).otherwise(raise_error(concat(
+          lit(s"knnJoin: an SRP bucket holds more vectors than " +
+            s"maxBucket=$maxBucket (size="), col("_bc"),
+          lit(") — pre-collapse exact-identical vectors or raise maxBucket"))))
+          .as("_nb"))
+    // each query probes its own bucket + the nPlanes Hamming-1 buckets
+    val qb = queries.select(col(idCol).as("id"), col(vecCol).as("_qv"))
+      .withColumn("_qb", srpBucket(col("_qv"), ps))
+      .select(col("id"), col("_qv"), explode(array(
+        col("_qb") +: (0 until nPlanes).map(p =>
+          col("_qb").bitwiseXOR(lit(1L << p))): _*)).as("_nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("sim").desc, col("neighbor_id"))
+    qb.join(guarded, Seq("_nb"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        cosine(col("_nv"), col("_qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: SRP-bucket join (exact bucket match)
     * then exact cosine >= minSim verification — the embedding analog of
     * MinHash-LSH dedup.

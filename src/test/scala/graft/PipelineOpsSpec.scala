@@ -168,6 +168,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cells > 1, "all vectors in one IVF cell — no pruning possible")
   }
 
+  test("knn join equals per-query lshTopK; guard trips on shared buckets") {
+    // same probe rule, same tie-break: the join restricted to one query id
+    // must reproduce lshTopK's rows exactly, for several query ids
+    val e = emb.select("vec_id", "embedding")
+    val knn = Ann.knnJoin(e.filter($"vec_id".isin(0L, 7L, 23L)), e,
+      "vec_id", "embedding", k = 10)
+      .select($"id", $"neighbor_id", $"sim").as[(Long, Long, Double)]
+      .collect().groupBy(_._1)
+      .view.mapValues(_.map(r => (r._2, r._3)).sortBy(x => (-x._2, x._1)).toSeq).toMap
+    for (q <- Seq(0L, 7L, 23L)) {
+      val single = Ann.lshTopK(e, "vec_id", "embedding", q, 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(knn(q) == single, s"query $q: join != single-query top-k")
+    }
+    // 30 planted copies of one vector share every probe bucket
+    val dupVecs = e.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(1000L), lit(1029L))).as("vec_id"),
+        $"embedding")
+    val eGuard = intercept[Exception] {
+      Ann.knnJoin(dupVecs, dupVecs, "vec_id", "embedding", k = 3,
+        maxBucket = 10).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(eGuard).flatMap(c => Option(c.getMessage)).mkString
+      .contains("knnJoin"), s"wrong error: $eGuard")
+  }
+
   test("embedding cosine near-dup pairs find planted duplicates") {
     val planted = emb.select("vec_id", "embedding")
       .unionByName(emb.filter($"vec_id" % 50 === 0)
