@@ -255,6 +255,27 @@ object Queries {
   /** Analytic window functions: per-user event sequence with running
     * count and running micro-sum (ordered by ts, event_id).
     */
+  /** Time-based sliding aggregate (RANGE frame, not ROWS): for every
+    * event, stats over that user's preceding hour — RANGE includes all
+    * peers of the current timestamp, so the result is deterministic under
+    * any shard order even with duplicate (user, second) timestamps, where
+    * a ROWS frame would be order-dependent. Integer-micro value sums keep
+    * both engines exact; epoch seconds are pinned-UTC integer keys.
+    */
+  def windowSliding1h(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3599L, 0L)
+    events(s, dir)
+      .select(col("user_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+        col("value"))
+      .select(col("user_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(floor(col("value") * 1e6).cast("long")).over(w).as("vsum_micro_1h"),
+        min(col("value")).over(w).as("vmin_1h"),
+        max(col("value")).over(w).as("vmax_1h"))
+  }
+
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -797,6 +818,7 @@ object Queries {
     "segment_stats" -> segmentStats _,
     "rollup_grouping_sets" -> rollupGroupingSets _,
     "window_running" -> windowRunning _,
+    "window_sliding_1h" -> windowSliding1h _,
     "sessionize" -> sessionize _,
     "q1_agg" -> q1Agg _,
     "join_broadcast_agg" -> joinBroadcastAgg _,
@@ -905,6 +927,15 @@ object Queries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_vsum_micro
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "window_sliding_1h" ->
+      """SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec,
+        |count(*) OVER w AS n_1h,
+        |CAST(sum(CAST(floor(value*1000000) AS BIGINT)) OVER w AS BIGINT) AS vsum_micro_1h,
+        |min(value) OVER w AS vmin_1h,
+        |max(value) OVER w AS vmax_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

@@ -42,6 +42,36 @@ object StreamingRollup {
         col("turns"), col("textLenSum"), col("textLenMin"), col("textLenMax"))
   }
 
+  /** Session-window aggregation at ingest — the streaming twin of the
+    * batch lag/running-sum sessionizer, on Spark's native MERGING session
+    * state: `session_window(ts, gap)` extends each event to [ts, ts+gap)
+    * and the state store merges overlapping windows per key, so late
+    * events BRIDGE two open sessions into one — semantics a pair of batch
+    * windows can't express incrementally. State is one (start, end,
+    * aggregates) tuple per open session per key (fixed width, no row
+    * lists); with a watermark + append mode, sessions emit and free state
+    * once the watermark passes their close. Boundary rule: events exactly
+    * `gap` apart start a NEW session (the window is half-open) — the
+    * batch [[graft.queries.Queries.sessionize]] keeps gap == threshold in
+    * the same session, so parity is asserted against a batch
+    * `session_window` aggregation, which shares this rule exactly.
+    */
+  def sessionStream(spark: SparkSession, inputDir: String, schema: StructType,
+      keyCol: String, tsCol: String, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .cast("long").as("duration_sec"))
+      .select(col(keyCol),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        col("n_events"), col("duration_sec"))
+
   /** Streaming M4 downsampling — live dashboard previews at ingest: the
     * same first/last/min/max-per-pixel-bucket operator as
     * [[graft.rollup.Downsample.m4]] expressed as an event-time windowed
