@@ -668,6 +668,21 @@ object Queries {
         graft.pipeline.QuantileGate.bucketOf(col("q"), 10000L).as("qb"))
   }
 
+  /** Exact per-domain token-count percentiles (p25/p50/p90/p99) — the
+    * corpus profiling report behind length gates, via the skew-safe
+    * histogram reduction ([[graft.pipeline.GroupQuantiles]]: the window
+    * runs over per-(domain, value) counts, never data rows). The oracle
+    * replays the histogram, the cumulative counts, and the integer
+    * ceiling-division rank rule.
+    */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.GroupQuantiles.percentiles(
+      documents(s, dir).select(
+        element_at(array(lit("web"), lit("code"), lit("books"), lit("junk")),
+          (col("doc_id") % 4 + 1).cast("int")).as("domain"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("tokens")),
+      "domain", "tokens", Seq(25, 50, 90, 99))
+
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
@@ -849,6 +864,7 @@ object Queries {
     "interval_join_sessions" -> intervalJoinSessions _,
     "text_quality" -> textQuality _,
     "quality_gate" -> qualityGate _,
+    "group_quantiles" -> groupQuantiles _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
     "ann_lsh" -> annLsh _,
@@ -1137,6 +1153,7 @@ object Queries {
         |    ELSE 0.0 END AS punct_ratio
         |FROM documents""".stripMargin,
     "quality_gate" -> qualityGateOracle,
+    "group_quantiles" -> groupQuantilesOracle,
     "ann_lsh" -> lshOracle,
     "ann_knn_join" -> knnJoinOracle,
     "ann_ivf" -> ivfOracle,
@@ -1751,6 +1768,29 @@ object Queries {
        |    row_number() OVER (PARTITION BY domain ORDER BY sb, doc_id) AS rn
        |  FROM b)
        |SELECT doc_id, domain FROM r WHERE rn <= 50""".stripMargin
+
+  /** Group-percentiles oracle: same histogram + cumulative-count +
+    * integer-ceiling-division rank rule as the engine (never DuckDB's
+    * own quantile functions — interpolation conventions differ).
+    */
+  private def groupQuantilesOracle: String = {
+    val sels = Seq(25, 50, 90, 99).map(p =>
+      s"min(CASE WHEN cum >= floor((n * $p + 99) / 100) THEN v END) AS p$p")
+      .mkString(",\n  ")
+    s"""WITH d AS (
+       |  SELECT (['web', 'code', 'books', 'junk'])[(doc_id % 4 + 1)::INT] AS domain,
+       |    len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0))::BIGINT AS tokens
+       |  FROM documents),
+       |h AS (SELECT domain, tokens AS v, count(*) AS c FROM d GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT domain, v,
+       |    sum(c) OVER (PARTITION BY domain ORDER BY v) AS cum,
+       |    sum(c) OVER (PARTITION BY domain) AS n
+       |  FROM h)
+       |SELECT domain,
+       |  $sels
+       |FROM cum GROUP BY domain""".stripMargin
+  }
 
   /** TF-IDF oracle: same tokenizer, same linear idf (tf·N/df as one IEEE
     * double division — bit-identical to the engine), same

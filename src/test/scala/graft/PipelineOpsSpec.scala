@@ -707,6 +707,30 @@ class PipelineOpsSpec extends SparkSpec {
       e.getMessage.contains("distinct values"), e.getMessage)
   }
 
+  test("group percentiles equal a naive sorted reference; nulls excluded") {
+    import graft.pipeline.GroupQuantiles
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      _ <- 1 to (50 + rnd.nextInt(100))
+    } yield (g, rnd.nextInt(40).toLong)
+    val pcts = Seq(1, 25, 50, 90, 99, 100)
+    val got = GroupQuantiles.percentiles(rows.toDF("g", "v"), "g", "v", pcts)
+      .collect().map(r => r.getString(0) ->
+        pcts.indices.map(i => r.getLong(i + 1)).toSeq).toMap
+    val ref = rows.groupBy(_._1).view.mapValues { vs =>
+      val sorted = vs.map(_._2).sorted
+      pcts.map(p => sorted(((sorted.size.toLong * p + 99L) / 100L).toInt - 1))
+    }.toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // null values drop out of the histogram and the rank denominator
+    val withNull = rows.toDF("g", "v").unionByName(
+      Seq(("a", null.asInstanceOf[java.lang.Long])).toDF("g", "v"))
+    val got2 = GroupQuantiles.percentiles(withNull, "g", "v", Seq(100))
+      .filter($"g" === "a").select("p100").as[Long].head()
+    assert(got2 == ref("a").last)
+  }
+
   test("quantile gate keeps the top fraction with content-based ties") {
     import graft.pipeline.QuantileGate
     val scores = Seq((1L, 0.95), (2L, 0.90), (3L, 0.90), (4L, 0.50), (5L, 0.10))
