@@ -175,6 +175,24 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must not global-sort:\n$p")
   }
 
+  test("knn join is a bucket equi-join, never a cartesian") {
+    val p = plan(Queries.annKnnJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in ann_knn_join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in ann_knn_join:\n$p")
+  }
+
+  test("group quantiles window runs over the aggregated histogram") {
+    val p = plan(Queries.groupQuantiles(spark, sfDir))
+    // the ranking window's child must be the (group, value) hash
+    // aggregate — a window straight over data rows would serialize a hot
+    // group through one task
+    val wIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"no window in plan:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in group_quantiles:\n$p")
+  }
+
   test("substring dedup semi-joins on the gram hash, no cartesian") {
     val p = plan(Queries.substringDedup(spark, sfDir))
     assert(p.contains("LeftSemi"), s"expected semi-join on hot grams:\n$p")
