@@ -731,6 +731,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got2 == ref("a").last)
   }
 
+  test("edge cases: substring minCount, knn small pools, empty quantiles") {
+    import graft.dedup.SubstringDedup
+    import graft.pipeline.GroupQuantiles
+    // minCount=3: the pair-only gram survives, the triple flags
+    val d3 = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"),
+      (4L, "x y z w"), (5L, "x y z w")).toDF("doc_id", "text")
+    val spans = SubstringDedup.repeatedSpans(d3, "doc_id", "text",
+      k = 4, minCount = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(spans == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 0L, 5L -> 0L),
+      s"got $spans")
+    // k far beyond the probe-candidate pool: returns what exists, ranks
+    // stay dense from 1
+    val tiny = emb.filter($"vec_id" < 6).select("vec_id", "embedding")
+    val knn = Ann.knnJoin(tiny, tiny, "vec_id", "embedding", k = 50)
+    assert(knn.count() <= 30 && knn.filter($"rank" > 5).count() == 0)
+    // empty input: empty result, no crash
+    assert(GroupQuantiles.percentiles(
+      Seq.empty[(String, Long)].toDF("g", "v"), "g", "v", Seq(50)).count() == 0)
+  }
+
   test("quantile gate keeps the top fraction with content-based ties") {
     import graft.pipeline.QuantileGate
     val scores = Seq((1L, 0.95), (2L, 0.90), (3L, 0.90), (4L, 0.50), (5L, 0.10))
