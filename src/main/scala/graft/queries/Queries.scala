@@ -683,6 +683,25 @@ object Queries {
         graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("tokens")),
       "domain", "tokens", Seq(25, 50, 90, 99))
 
+  /** Per-user inter-event gap percentiles — the transcript-cadence
+    * profile (how bursty is each conversation stream): a lag window
+    * computes gaps on the deterministic (ts, event_id) order, then the
+    * skew-safe histogram percentiles reduce them
+    * ([[graft.pipeline.GroupQuantiles]] — composition of two operators,
+    * both oracle-replayable).
+    */
+  def turnGapQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+      .select(col("user_id"),
+        (col("ts_sec") - lag(col("ts_sec"), 1).over(byUser)).as("gap_sec"))
+    graft.pipeline.GroupQuantiles.percentiles(gaps, "user_id", "gap_sec",
+      Seq(50, 90, 99))
+  }
+
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
@@ -865,6 +884,7 @@ object Queries {
     "text_quality" -> textQuality _,
     "quality_gate" -> qualityGate _,
     "group_quantiles" -> groupQuantiles _,
+    "turn_gap_quantiles" -> turnGapQuantiles _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
     "ann_lsh" -> annLsh _,
@@ -1154,6 +1174,7 @@ object Queries {
         |FROM documents""".stripMargin,
     "quality_gate" -> qualityGateOracle,
     "group_quantiles" -> groupQuantilesOracle,
+    "turn_gap_quantiles" -> turnGapQuantilesOracle,
     "ann_lsh" -> lshOracle,
     "ann_knn_join" -> knnJoinOracle,
     "ann_ivf" -> ivfOracle,
@@ -1790,6 +1811,30 @@ object Queries {
        |SELECT domain,
        |  $sels
        |FROM cum GROUP BY domain""".stripMargin
+  }
+
+  /** Gap-percentiles oracle: same lag rule on the (ts, event_id) order,
+    * same histogram + ceiling-division ranks as [[groupQuantilesOracle]].
+    */
+  private def turnGapQuantilesOracle: String = {
+    val sels = Seq(50, 90, 99).map(p =>
+      s"min(CASE WHEN cum >= floor((n * $p + 99) / 100) THEN v END) AS p$p")
+      .mkString(",\n  ")
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |    epoch_us(ts) // 1000000
+       |      - lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+       |  FROM events),
+       |h AS (SELECT user_id, gap_sec AS v, count(*) AS c FROM g
+       |      WHERE gap_sec IS NOT NULL GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT user_id, v,
+       |    sum(c) OVER (PARTITION BY user_id ORDER BY v) AS cum,
+       |    sum(c) OVER (PARTITION BY user_id) AS n
+       |  FROM h)
+       |SELECT user_id,
+       |  $sels
+       |FROM cum GROUP BY user_id""".stripMargin
   }
 
   /** TF-IDF oracle: same tokenizer, same linear idf (tf·N/df as one IEEE
