@@ -434,8 +434,13 @@ object Dedup {
     * that key-equal rows are exact duplicates under the pair pipeline's
     * own similarity (e.g. [[graft.text.TextAnalysis.fingerprint]] for
     * token-based pipelines — fingerprint-equal texts tokenize
-    * identically — or the embedding column itself for vector pipelines),
-    * and must be non-null. Then the result is IDENTICAL to
+    * identically — or the embedding column itself for vector pipelines).
+    * NULL-key rows (null text / null vector) become singleton clusters
+    * directly instead of silently vanishing through the null-rejecting
+    * equi-joins — consistent with content-derived keys, where a null key
+    * means content that can produce no shingles/buckets and therefore no
+    * pairs. For any other `classKey` whose null rows could still pair,
+    * resolve nulls upstream. Then the result is IDENTICAL to
     * `dupComponents(docs, idCol, pairsOf(docs))` whenever the pair
     * pipeline (a) emits every exact-duplicate pair (Jaccard/cosine = 1 ≥
     * any threshold ≤ 1) and (b) is content-determined (key-equal docs get
@@ -460,16 +465,19 @@ object Dedup {
     require(clash.isEmpty,
       s"column names ${clash.mkString(",")} are reserved by dupComponentsCollapsed")
     val keyed = docs.withColumn("_ck", classKey).localCheckpoint()
-    val keep = keyed.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
-    val reps = keyed
+    val nn = keyed.filter(col("_ck").isNotNull)
+    val keep = nn.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
+    val reps = nn
       .join(keep.withColumnRenamed("_rep", idCol), Seq("_ck", idCol), "left_semi")
       .drop("_ck")
     val comp = dupComponents(reps, idCol, pairsOfReps(reps), maxIter)
-    keyed.select(col(idCol).as("id"), col("_ck"))
+    nn.select(col(idCol).as("id"), col("_ck"))
       .join(keep, "_ck")
       .select(col("id"), col("_rep"))
       .join(comp.withColumnRenamed("id", "_rep"), "_rep")
       .select("id", "cluster")
+      .unionByName(keyed.filter(col("_ck").isNull)
+        .select(col(idCol).as("id"), col(idCol).as("cluster")))
   }
 
   /** Release the block-manager storage behind a `localCheckpoint`ed

@@ -376,6 +376,15 @@ class PipelineOpsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(collapsed == full, s"round $round: collapse changed labels")
     }
+    // null-key docs (null text -> null fingerprint) become singleton
+    // clusters instead of vanishing through the null-rejecting equi-joins
+    val withNull = Seq((1L, "a b c"), (2L, "a b c"),
+      (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val labels = Dedup.dupComponentsCollapsed(withNull, "doc_id",
+      TextAnalysis.fingerprint($"text"),
+      d => Dedup.minhashDupPairs(d, "doc_id", "text", 2, 16, 8, 0.7))
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 9L -> 9L), s"got $labels")
   }
 
   test("substring dedup matches hand-computed spans (k=4)") {
