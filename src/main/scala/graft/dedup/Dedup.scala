@@ -117,6 +117,32 @@ object Dedup {
   def gramIdArray(tokens: Column, n: Int): Column =
     transform(gramArray(tokens, n), g => xxhash64(g))
 
+  /** Shared oversize-bucket fan-out guard for the candidate self-joins
+    * (LSH bands, SimHash bands, SRP buckets, kNN probe buckets): one
+    * map-side-combined count per bucket key, a broadcast of the
+    * expected-empty oversize set, and the LAST key column replaced by a
+    * `raise_error`-bearing copy so any bucket beyond `cap` fails the job
+    * loudly on the offending row (executor-side, no driver pre-scan).
+    * Apply to ONE side of the self-join — a hot bucket always appears
+    * there too. Column set and order of `df` are preserved.
+    */
+  private[graft] def oversizeGuard(df: DataFrame, keyCols: Seq[String],
+      cap: Long, op: String, hint: String): DataFrame = {
+    require(cap > 1, s"$op: bucket cap=$cap must be > 1")
+    val oversize = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > cap)
+    val guardKey = keyCols.last
+    df.join(broadcast(oversize), keyCols, "left")
+      .select(df.columns.map { c =>
+        if (c == guardKey)
+          when(col("_bc").isNull, col(c)).otherwise(raise_error(concat(
+            lit(s"$op: a bucket holds more rows than the cap $cap (size="),
+            col("_bc"), lit(s") — $hint")))).as(c)
+        else col(c)
+      }: _*)
+  }
+
   /** Exact pairwise n-gram Jaccard over co-shingled pairs (id_a < id_b,
     * jaccard >= minJaccard). Exact — the small-corpus baseline and the
     * verifier behind LSH.
@@ -195,18 +221,10 @@ object Dedup {
     val exploded = sigs.select(col("id"), explode(bandHashes).as("e"))
       .select(col("id"), col("e.band"), col("e.bh"))
       .localCheckpoint()
-    val oversize = exploded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("_bc"))
-      .filter(col("_bc") > maxBandBucket)
-    val guarded = exploded.join(broadcast(oversize), Seq("band", "bh"), "left")
-      .select(col("id"), col("band"),
-        when(col("_bc").isNull, col("bh")).otherwise(raise_error(concat(
-          lit(s"lshCandidatePairs: a band bucket holds more docs than " +
-            s"maxBandBucket=$maxBandBucket (band="), col("band"),
-          lit(", size="), col("_bc"),
-          lit(") — the self-join would emit O(size²) candidate pairs; " +
-            "pre-collapse exact duplicates (Dedup.dupComponentsCollapsed) " +
-            "or raise maxBandBucket")))).as("bh"))
+    val guarded = oversizeGuard(exploded, Seq("band", "bh"), maxBandBucket,
+      "lshCandidatePairs",
+      "the self-join would emit O(size²) candidate pairs; pre-collapse " +
+        "exact duplicates (Dedup.dupComponentsCollapsed) or raise maxBandBucket")
     guarded.as("x").join(exploded.as("y"), Seq("band", "bh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -306,17 +324,10 @@ object Dedup {
     val banded = sigs.select(col("id"), col("simhash"), explode(bandArr).as("e"))
       .select(col("id"), col("simhash"), col("e.band"), col("e.bv"))
       .localCheckpoint()
-    val oversize = banded.groupBy("band", "bv")
-      .agg(count(lit(1)).as("_bc"))
-      .filter(col("_bc") > maxBandBucket)
-    val guarded = banded.join(broadcast(oversize), Seq("band", "bv"), "left")
-      .select(col("id"), col("simhash"), col("band"),
-        when(col("_bc").isNull, col("bv")).otherwise(raise_error(concat(
-          lit(s"simhashDupPairs: a band bucket holds more docs than " +
-            s"maxBandBucket=$maxBandBucket (band="), col("band"),
-          lit(", size="), col("_bc"),
-          lit(") — pre-collapse exact duplicates " +
-            "(Dedup.dupComponentsCollapsed) or raise maxBandBucket")))).as("bv"))
+    val guarded = oversizeGuard(banded, Seq("band", "bv"), maxBandBucket,
+      "simhashDupPairs",
+      "pre-collapse exact duplicates (Dedup.dupComponentsCollapsed) or " +
+        "raise maxBandBucket")
     guarded.as("x").join(banded.as("y"), Seq("band", "bv"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

@@ -55,12 +55,17 @@ object SubstringDedup {
     * contract — consumed by the occurrence count, the duplicate-position
     * restriction, and the totals.
     */
-  private def dupStartTables(docs: DataFrame, idCol: String, textCol: String,
+  /** (id, tokens) projection — the single tokenize pass both entry points
+    * build on (own projection per the interpreted-HOF CSE discipline).
+    */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+
+  private def dupStartTables(toked: DataFrame,
       k: Int, minCount: Long): (DataFrame, DataFrame) = {
     require(k >= 2, s"k=$k must be >= 2 (a 1-token window dedups vocabulary)")
     require(minCount >= 2, s"minCount=$minCount must be >= 2")
-    val grams = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+    val grams = toked
       .select(col("id"), size(col("_t")).cast("long").as("total_tokens"),
         gramHashes(col("_t"), k).as("_g"))
       .select(col("id"), col("total_tokens"),
@@ -81,7 +86,8 @@ object SubstringDedup {
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minCount: Long = 2L): DataFrame = {
-    val (grams, starts) = dupStartTables(docs, idCol, textCol, k, minCount)
+    val (grams, starts) =
+      dupStartTables(tokenized(docs, idCol, textCol), k, minCount)
     val dupPs = starts
       .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("_ps"))
     // consecutive-position gaps; guarded so a single-element list never
@@ -119,12 +125,16 @@ object SubstringDedup {
     */
   def cutSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minCount: Long = 2L): DataFrame = {
-    val (grams, starts) = dupStartTables(docs, idCol, textCol, k, minCount)
+    // the token arrays feed BOTH the gram pipeline and the survivor
+    // reassembly — materialize the tokenize pass once instead of running
+    // the regex tokenizer (the expensive interpreted part) over the
+    // corpus twice
+    val toked = tokenized(docs, idCol, textCol).localCheckpoint()
+    val (grams, starts) = dupStartTables(toked, k, minCount)
     val covered = starts
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
       .distinct()
-    val toks = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+    val toks = toked
       .select(col("id"), posexplode_outer(col("_t")).as(Seq("pos", "tok")))
     val rebuilt = toks.filter(col("tok").isNotNull)
       .join(covered, Seq("id", "pos"), "left_anti")

@@ -361,9 +361,13 @@ object Queries {
     // exact-duplicate classes collapse to one representative BEFORE pair
     // generation (Dedup.dupComponentsCollapsed): identical labels, but a
     // viral m-copy class costs O(m) instead of m²/2 LSH candidate pairs —
-    // the corpus's injected exact copies exercise the collapse path
+    // the corpus's injected exact copies exercise the collapse path.
+    // coalesce(text, ''): a null text shingles exactly like an empty text
+    // (gramArray's whole-text fallback emits [""] for both), so keying
+    // them together preserves the collapse⇔uncollapsed equivalence even
+    // on degenerate rows instead of leaning on the null-key singleton path
     graft.dedup.Dedup.dupComponentsCollapsed(dupCorpus(s, dir), "doc_id",
-      graft.text.TextAnalysis.fingerprint(col("text")),
+      graft.text.TextAnalysis.fingerprint(coalesce(col("text"), lit(""))),
       reps => graft.dedup.Dedup.minhashDupPairs(reps, "doc_id", "text",
         n = 3, k = 32, bands = 16, minJaccard = 0.8))
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
@@ -379,7 +383,7 @@ object Queries {
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(s, dir)
     val clusters = graft.dedup.Dedup.dupComponentsCollapsed(corpus, "doc_id",
-      graft.text.TextAnalysis.fingerprint(col("text")),
+      graft.text.TextAnalysis.fingerprint(coalesce(col("text"), lit(""))),
       reps => graft.dedup.Dedup.minhashDupPairs(reps, "doc_id", "text",
         n = 3, k = 32, bands = 16, minJaccard = 0.8))
     val scored = corpus.select(col("doc_id").as("id"),
@@ -431,10 +435,10 @@ object Queries {
   }
 
   /** Exact repeated-substring spans (suffix-array-style dedup, Lee et al.
-    * 2022) at k=8 tokens over documents + planted repeats: +40000 = every
+    * 2022) at k=8 tokens over documents + planted repeats: +4000000 = every
     * 10th doc with a fresh leading token (the original becomes fully
     * covered; the copy's first window is unique, so its span starts one
-    * position in — exercising partial coverage), +50000 = every 13th doc
+    * position in — exercising partial coverage), +5000000 = every 13th doc
     * self-concatenated (within-doc repetition, the suffix-array semantics
     * LSH/minhash can't see). Organic 8-gram repeats in the synthetic
     * vocabulary exercise the cross-doc path too. The oracle replays the
@@ -446,10 +450,10 @@ object Queries {
     val docs = documents(s, dir).select("doc_id", "text")
     docs
       .unionByName(docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 40000).as("doc_id"),
+        .select((col("doc_id") + 4000000).as("doc_id"),
           concat(lit("prefixtoken "), col("text")).as("text")))
       .unionByName(docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 50000).as("doc_id"),
+        .select((col("doc_id") + 5000000).as("doc_id"),
           concat(col("text"), lit(" "), col("text")).as("text")))
   }
 
@@ -786,9 +790,14 @@ object Queries {
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
     // exact-identical vectors collapse (class key = the vector itself)
     // before the SRP-bucket self-join — identical labels, O(m) per m-copy
-    // class; the planted exact copies exercise the collapse path
+    // class; the planted exact copies exercise the collapse path.
+    // Zero-norm vectors get a NULL key (→ singleton clusters): their
+    // cosine is NaN, so the pair pipeline can never link them — collapsing
+    // two zero vectors would merge docs the uncollapsed graph keeps apart
     graft.dedup.Dedup.dupComponentsCollapsed(corpus, "vec_id",
-      col("embedding"),
+      when(aggregate(col("embedding"), lit(0.0),
+        (a, v) => a + v.cast("double") * v.cast("double")) > 0,
+        col("embedding")),
       reps => graft.sim.Ann.cosineDupPairs(reps, "vec_id", "embedding",
         minSim = 0.999999))
       .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
@@ -1474,9 +1483,9 @@ object Queries {
     s"""scorpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 40000, 'prefixtoken ' || text FROM documents WHERE doc_id % 10 = 0
+       |  SELECT doc_id + 4000000, 'prefixtoken ' || text FROM documents WHERE doc_id % 10 = 0
        |  UNION ALL
-       |  SELECT doc_id + 50000, text || ' ' || text FROM documents WHERE doc_id % 13 = 0),
+       |  SELECT doc_id + 5000000, text || ' ' || text FROM documents WHERE doc_id % 13 = 0),
        |stoks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{Nd}'']+'), x -> len(x) > 0) AS t
        |  FROM scorpus),

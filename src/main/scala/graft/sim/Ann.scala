@@ -223,15 +223,8 @@ object Ann {
     val b = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
       .withColumn("_nb", srpBucket(col("_nv"), ps))
       .localCheckpoint()
-    val oversize = b.groupBy("_nb").agg(count(lit(1)).as("_bc"))
-      .filter(col("_bc") > maxBucket)
-    val guarded = b.join(broadcast(oversize), Seq("_nb"), "left")
-      .select(col("neighbor_id"), col("_nv"),
-        when(col("_bc").isNull, col("_nb")).otherwise(raise_error(concat(
-          lit(s"knnJoin: an SRP bucket holds more vectors than " +
-            s"maxBucket=$maxBucket (size="), col("_bc"),
-          lit(") — pre-collapse exact-identical vectors or raise maxBucket"))))
-          .as("_nb"))
+    val guarded = graft.dedup.Dedup.oversizeGuard(b, Seq("_nb"), maxBucket,
+      "knnJoin", "pre-collapse exact-identical vectors or raise maxBucket")
     // each query probes its own bucket + the nPlanes Hamming-1 buckets
     val qb = queries.select(col(idCol).as("id"), col(vecCol).as("_qv"))
       .withColumn("_qb", srpBucket(col("_qv"), ps))
@@ -272,16 +265,11 @@ object Ann {
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", srpBucket(col("v"), ps))
       .localCheckpoint()
-    val oversize = b.groupBy("bucket").agg(count(lit(1)).as("_bc"))
-      .filter(col("_bc") > maxBucket)
-    val guarded = b.join(broadcast(oversize), Seq("bucket"), "left")
-      .select(col("id"), col("v"),
-        when(col("_bc").isNull, col("bucket")).otherwise(raise_error(concat(
-          lit(s"cosineDupPairs: an SRP bucket holds more vectors than " +
-            s"maxBucket=$maxBucket (size="), col("_bc"),
-          lit(") — the self-join would emit O(size²) pairs; pre-collapse " +
-            "exact-identical vectors (Dedup.dupComponentsCollapsed on the " +
-            "vector column) or raise maxBucket")))).as("bucket"))
+    val guarded = graft.dedup.Dedup.oversizeGuard(b, Seq("bucket"), maxBucket,
+      "cosineDupPairs",
+      "the self-join would emit O(size²) pairs; pre-collapse " +
+        "exact-identical vectors (Dedup.dupComponentsCollapsed on the " +
+        "vector column) or raise maxBucket")
     guarded.as("x").join(b.as("y"), Seq("bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

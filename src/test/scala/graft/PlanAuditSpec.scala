@@ -183,13 +183,19 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("group quantiles window runs over the aggregated histogram") {
+    // a window straight over data rows would serialize a hot group
+    // through one task — every Window's SUBTREE must contain the
+    // (group, value) histogram Aggregate, so the window input is
+    // bounded by distinct values per group, never row counts
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = Queries.groupQuantiles(spark, sfDir).queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"no window in plan:\n$lp")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window input is not the aggregated histogram:\n$lp")
+    }
     val p = plan(Queries.groupQuantiles(spark, sfDir))
-    // the ranking window's child must be the (group, value) hash
-    // aggregate — a window straight over data rows would serialize a hot
-    // group through one task
-    val wIdx = p.linesIterator.indexWhere(_.contains("Window"))
-    assert(wIdx >= 0, s"no window in plan:\n$p")
-    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in group_quantiles:\n$p")
   }
 
