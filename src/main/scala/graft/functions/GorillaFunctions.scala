@@ -126,12 +126,15 @@ object GorillaFunctions {
   def decodeStrings(c: Column): Column = call_function("gorilla_decode_strings", c)
   def decodeTexts(c: Column): Column = call_function("gorilla_decode_texts", c)
 
+  def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "gorilla_decode_longs" -> (es => GorillaDecodeLongs(es.head)),
     "gorilla_decode_doubles" -> (es => GorillaDecodeDoubles(es.head)),
     "gorilla_decode_strings" -> (es => GorillaDecodeStrings(es.head)),
     "gorilla_decode_texts" -> (es => GorillaDecodeTexts(es.head)),
-    "gorilla_explode" -> (es => GorillaExplodeSegment(es(0), es(1), es(2), es(3))))
+    "gorilla_explode" -> (es => GorillaExplodeSegment(es(0), es(1), es(2), es(3))),
+    "nfc_normalize" -> (es => NfcNormalize(es.head)))
 
   /** Register the functions on an existing session (tests / ad-hoc).
     * Idempotent: re-registering an already-present name is skipped, so
@@ -167,5 +170,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("gorilla_explode"),
       info("gorilla_explode"),
       es => GorillaExplodeSegment(es(0), es(1), es(2), es(3))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize"), es => NfcNormalize(es.head)))
   }
 }

@@ -706,6 +706,32 @@ object Queries {
       Seq(50, 90, 99))
   }
 
+  /** Unicode NFC normalization — the canonical-composition pass a corpus
+    * runs BEFORE fingerprint/shingle dedup (decomposed "e"+U+0301 and
+    * composed "é" are different bytes for identical text): the native
+    * [[graft.functions.NfcNormalize]] codegen Expression, oracle-checked
+    * against DuckDB's `nfc_normalize` (same Unicode algorithm — output
+    * byte-reproducible across engines). Corpus = documents (ASCII —
+    * normalization identity) + planted decomposed-accent rows that must
+    * compose (length shrinks by exactly the two combining marks).
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GorillaFunctions.register(s)
+    val docs = documents(s, dir).select("doc_id", "text")
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 6000000).as("doc_id"),
+        concat(col("text"), lit(" café touché")).as("text")))
+    // DECOMPOSED accents on disk (base letter + U+0301 combining acute) —
+    // NFC must compose them; the oracle builds the same bytes via chr(769)
+    corpus.select(col("doc_id"), col("text"),
+        graft.functions.GorillaFunctions.nfcNormalize(col("text")).as("text_nfc"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("text_nfc")).cast("long").as("n_chars_nfc"),
+        (col("text_nfc") =!= col("text")).as("changed"),
+        col("text_nfc"))
+  }
+
   /** Per-document text-quality metrics (scalar-function parity query). */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).select(col("doc_id"),
@@ -894,6 +920,7 @@ object Queries {
     "quality_gate" -> qualityGate _,
     "group_quantiles" -> groupQuantiles _,
     "turn_gap_quantiles" -> turnGapQuantiles _,
+    "text_normalize" -> textNormalize _,
     "lang_id_dist" -> langIdDist _,
     "ann_bruteforce" -> annBruteForce _,
     "ann_lsh" -> annLsh _,
@@ -1184,6 +1211,19 @@ object Queries {
     "quality_gate" -> qualityGateOracle,
     "group_quantiles" -> groupQuantilesOracle,
     "turn_gap_quantiles" -> turnGapQuantilesOracle,
+    "text_normalize" ->
+      """WITH ncorpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 6000000,
+        |    text || ' cafe' || chr(769) || ' touche' || chr(769)
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+        |  nfc_normalize(text) <> text AS changed,
+        |  nfc_normalize(text) AS text_nfc
+        |FROM ncorpus""".stripMargin,
     "ann_lsh" -> lshOracle,
     "ann_knn_join" -> knnJoinOracle,
     "ann_ivf" -> ivfOracle,

@@ -67,6 +67,31 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == vals.toSeq)
   }
 
+  test("nfc_normalize composes decomposed accents, identity elsewhere") {
+    GorillaFunctions.register(spark)
+    val decomposed = "café"          // e + combining acute, 5 chars
+    val composed = "café"             // precomposed, 4 chars
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = rows.select($"id",
+        GorillaFunctions.nfcNormalize($"t").as("n"),
+        length(GorillaFunctions.nfcNormalize($"t")).as("len"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)).map(_.toString.toLong))))
+      .toMap
+    assert(got(1L) == ((Some(composed), Some(4L))),
+      s"decomposed must compose: ${got(1L)}")
+    assert(got(2L) == ((Some(composed), Some(4L))))
+    assert(got(3L) == ((Some("plain ascii"), Some(11L))))
+    assert(got(4L) == ((None, None)), "null propagates")
+    // SQL registration + idempotence of normalization
+    rows.createOrReplaceTempView("nfc_in")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(nfc_normalize(t)) FROM nfc_in WHERE id = 1")
+      .as[String].head()
+    assert(viaSql == composed)
+  }
+
   test("expressions handle null input blobs") {
     GorillaFunctions.register(spark)
     val got = Seq(Tuple1(null: Array[Byte])).toDF("b")
