@@ -145,10 +145,15 @@ object Dedup {
 
   /** Exact pairwise n-gram Jaccard over co-shingled pairs (id_a < id_b,
     * jaccard >= minJaccard). Exact — the small-corpus baseline and the
-    * verifier behind LSH.
+    * verifier behind LSH. `maxPostingList` is the [[oversizeGuard]]
+    * contract on the posting self-join: a shingle shared by d docs emits
+    * d²/2 intersection rows, so a hot boilerplate shingle beyond the cap
+    * fails loudly (exactness means it cannot be silently dropped the way
+    * `minhashDupPairs(maxShingleDf)` drops it from banding — switch to
+    * that scale path instead).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double): DataFrame = {
+      n: Int, minJaccard: Double, maxPostingList: Long = 100000L): DataFrame = {
     val sh = shingleIds(docs, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // a shingle with document frequency 1 can never contribute to a pair:
@@ -158,7 +163,12 @@ object Dedup {
     val coOccurring = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2).select("shingle")
     val shP = sh.join(coOccurring, Seq("shingle"), "left_semi")
-    val inter = shP.as("x").join(shP.as("y"), "shingle")
+    val shG = oversizeGuard(shP, Seq("shingle"), maxPostingList,
+      "jaccardPairs",
+      "a hot shingle makes the exact posting self-join quadratic; use " +
+        "minhashDupPairs(maxShingleDf) as the scale path or raise " +
+        "maxPostingList")
+    val inter = shG.as("x").join(shP.as("y"), "shingle")
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))

@@ -346,6 +346,12 @@ class PipelineOpsSpec extends SparkSpec {
         maxBucket = 10).count()
     }
     assert(msg(e3).contains("cosineDupPairs"), s"wrong error: $e3")
+    // exact jaccard: the posting self-join guards its hot shingles too
+    val e4 = intercept[Exception] {
+      Dedup.jaccardPairs(viral, "doc_id", "text", n = 3, minJaccard = 0.8,
+        maxPostingList = 10).count()
+    }
+    assert(msg(e4).contains("jaccardPairs"), s"wrong error: $e4")
     // the same corpora pass under the default cap
     assert(Dedup.minhashDupPairs(viral, "doc_id", "text", 3, 32, 16, 0.8)
       .count() == 50L * 49L / 2L)
