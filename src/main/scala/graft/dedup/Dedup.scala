@@ -26,26 +26,30 @@ import org.apache.spark.sql.functions._
   * [[jaccardPairs]], [[minhashDupPairs]], [[dropDuplicateLines]],
   * [[lshCandidatePairs]], [[simhashDupPairs]] and
   * [[dupComponentsCollapsed]] materialize one intermediate relation (the
-  * posting/band/line/mapping table) with an
-  * EAGER `localCheckpoint` — a job runs at operator-construction time —
-  * because the returned plan consumes it from several branches (without
-  * it the scan+shingle pipeline would run 3–4×). A `cache()` would keep
-  * the same data BUT retain the full upstream LOGICAL plan, which AQE
+  * posting/band/line/mapping table) with a `localCheckpoint` whose
+  * materialization job runs at operator-construction time, because the
+  * returned plan consumes it from several branches (without it the
+  * scan+shingle pipeline would run 3–4×). A `cache()` would keep the
+  * same data BUT retain the full upstream LOGICAL plan, which AQE
   * re-optimizes after every completed stage of every downstream action —
   * measured ~40 % of `minhashDupPairs`' warm wall time at sf0.1 was that
   * re-planning; the checkpoint truncates lineage to a flat `LogicalRDD`.
+  * Where the operator carries a bucket-cap guard, the checkpoint is LAZY
+  * and the guard's one count job ([[assertMaxBucket]], a single-branch
+  * aggregation) doubles as the materialization barrier — one job does
+  * guard + materialization where round 5 paid an eager-checkpoint job
+  * PLUS a per-plan broadcast-join guard. A lazy checkpoint whose first
+  * consumer is multi-branch (e.g. [[dropDuplicateLines]]' line table, or
+  * the stop-shingle path of [[minhashDupPairs]]) stays EAGER: concurrent
+  * stages racing an unmaterialized lazy checkpoint compute the upstream
+  * pipeline once per branch.
   * The RETURNED DataFrame references the checkpoint, so the operator
   * cannot free it itself; blocks are released when the result's plan is
   * garbage-collected (Spark's ContextCleaner) — bounded by one posting
   * table per in-flight result, not by session lifetime — or
   * deterministically by the caller via [[releaseLocalCheckpoints]] once
   * no further action will touch the plan (the bench harness instead
-  * sweeps all RDD-level persists between timed queries). Eager (not
-  * lazy) is deliberate: these relations feed SEVERAL branches of the
-  * first downstream job, and concurrent stages racing an unmaterialized
-  * lazy checkpoint compute the upstream pipeline once per branch — the
-  * cost is that plan-only callers (plan audits) pay the materialization
-  * at construction time, which is the cheaper side of the trade.
+  * sweeps all RDD-level persists between timed queries).
   * [[dupComponents]] additionally frees each superseded per-round
   * checkpoint itself (including on failure paths) and leaves only the
   * final labels materialization pinned (O(#docs) rows).
@@ -118,43 +122,59 @@ object Dedup {
     transform(gramArray(tokens, n), g => xxhash64(g))
 
   /** Shared oversize-bucket fan-out guard for the candidate self-joins
-    * (LSH bands, SimHash bands, SRP buckets, kNN probe buckets): one
-    * map-side-combined count per bucket key, a broadcast of the
-    * expected-empty oversize set, and the LAST key column replaced by a
-    * `raise_error`-bearing copy so any bucket beyond `cap` fails the job
-    * loudly on the offending row (executor-side, no driver pre-scan).
-    * Apply to ONE side of the self-join — a hot bucket always appears
-    * there too. Column set and order of `df` are preserved.
+    * (LSH bands, SimHash bands, SRP buckets, kNN probe buckets, posting
+    * lists): one map-side-combined count per bucket key reduced to the
+    * single max, checked on the DRIVER at operator-construction time. The
+    * guard is CORPUS-WIDE by contract — any bucket beyond `cap` fails
+    * loudly whether or not a counterpart row would ever join it (a hot
+    * bucket is a broken collapse/cap contract worth failing on sight).
+    *
+    * This replaces the round-5 per-row formulation (broadcast of the
+    * expected-empty oversize set + `raise_error`-wrapped join keys),
+    * which charged every candidate join an extra aggregate + broadcast
+    * join at execution AND inflated analysis/codegen with the
+    * `when(raise_error)` key copies — measured ~2× warm and up to ~3.5×
+    * cold on the collapse-path queries at sf0.1. The count here runs ONCE
+    * over `df`, and because every caller passes its freshly
+    * lazy-localCheckpoint'ed relation, this job doubles as the
+    * materialization barrier of the checkpoint (one job does both; the
+    * eager-checkpoint-then-guard shape paid two). The returned plans
+    * carry no guard residue at all.
     */
-  private[graft] def oversizeGuard(df: DataFrame, keyCols: Seq[String],
-      cap: Long, op: String, hint: String): DataFrame = {
+  private[graft] def assertMaxBucket(df: DataFrame, keyCols: Seq[String],
+      cap: Long, op: String, hint: String): Unit = {
     require(cap > 1, s"$op: bucket cap=$cap must be > 1")
-    val oversize = df.groupBy(keyCols.map(col): _*)
+    val mx = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_bc"))
-      .filter(col("_bc") > cap)
-    val guardKey = keyCols.last
-    df.join(broadcast(oversize), keyCols, "left")
-      .select(df.columns.map { c =>
-        if (c == guardKey)
-          when(col("_bc").isNull, col(c)).otherwise(raise_error(concat(
-            lit(s"$op: a bucket holds more rows than the cap $cap (size="),
-            col("_bc"), lit(s") — $hint")))).as(c)
-        else col(c)
-      }: _*)
+      .agg(max(col("_bc")))
+      .collect()(0)
+    val worst = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    if (worst > cap) throw new IllegalStateException(
+      s"$op: a bucket holds more rows than the cap $cap (size=$worst) — $hint")
   }
 
   /** Exact pairwise n-gram Jaccard over co-shingled pairs (id_a < id_b,
     * jaccard >= minJaccard). Exact — the small-corpus baseline and the
-    * verifier behind LSH. `maxPostingList` is the [[oversizeGuard]]
+    * verifier behind LSH. `maxPostingList` is the [[assertMaxBucket]]
     * contract on the posting self-join: a shingle shared by d docs emits
     * d²/2 intersection rows, so a hot boilerplate shingle beyond the cap
-    * fails loudly (exactness means it cannot be silently dropped the way
-    * `minhashDupPairs(maxShingleDf)` drops it from banding — switch to
-    * that scale path instead).
+    * fails loudly at construction (exactness means it cannot be silently
+    * dropped the way `minhashDupPairs(maxShingleDf)` drops it from
+    * banding — switch to that scale path instead). The default cap 10⁴
+    * bounds the worst single posting list at ~5×10⁷ intersection rows —
+    * past that the exact path is the wrong tool regardless.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double, maxPostingList: Long = 100000L): DataFrame = {
-    val sh = shingleIds(docs, idCol, textCol, n).localCheckpoint()
+      n: Int, minJaccard: Double, maxPostingList: Long = 10000L): DataFrame = {
+    val sh = shingleIds(docs, idCol, textCol, n).localCheckpoint(eager = false)
+    // construction-time posting-list cap (per-shingle count over sh equals
+    // the df of the filtered posting table below — cap > 1 ≥ any df-1
+    // singleton); this one job also materializes the lazy checkpoint
+    assertMaxBucket(sh, Seq("shingle"), maxPostingList,
+      "jaccardPairs",
+      "a hot shingle makes the exact posting self-join quadratic; use " +
+        "minhashDupPairs(maxShingleDf) as the scale path or raise " +
+        "maxPostingList")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // a shingle with document frequency 1 can never contribute to a pair:
     // dropping those postings BEFORE the quadratic self-join shrinks its
@@ -163,12 +183,7 @@ object Dedup {
     val coOccurring = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2).select("shingle")
     val shP = sh.join(coOccurring, Seq("shingle"), "left_semi")
-    val shG = oversizeGuard(shP, Seq("shingle"), maxPostingList,
-      "jaccardPairs",
-      "a hot shingle makes the exact posting self-join quadratic; use " +
-        "minhashDupPairs(maxShingleDf) as the scale path or raise " +
-        "maxPostingList")
-    val inter = shG.as("x").join(shP.as("y"), "shingle")
+    val inter = shP.as("x").join(shP.as("y"), "shingle")
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
@@ -208,21 +223,20 @@ object Dedup {
     * design — one viral 100k-copy boilerplate page is 5×10⁹ pairs before
     * any filter. `maxShingleDf` caps hot *shingles*, not hot *signatures*,
     * so `maxBandBucket` makes the bucket contract explicit: any band
-    * bucket beyond the cap fails the job loudly on the offending key
-    * (executor-side `raise_error`, no driver pre-scan). The structural fix
+    * bucket beyond the cap fails loudly at operator-construction time
+    * ([[assertMaxBucket]] — a corpus-wide check, tripping whether or not
+    * the oversize bucket would survive later filters). The structural fix
     * for large exact-duplicate classes is [[dupComponentsCollapsed]] —
     * pre-collapse key-equal docs so a class contributes ONE signature;
     * after that, surviving buckets hold genuinely distinct near-dup
     * content and the cap only trips on contracts worth failing. The guard
-    * costs one map-side-combined count over the banded postings and a
-    * broadcast join of the (expected-empty) oversize set, applied to one
-    * join side only — a hot bucket always trips it there. The banded
-    * relation is materialized (eager `localCheckpoint`, see the
-    * materialization contract) so the signature pipeline runs once, not
-    * once per consumer.
+    * costs one map-side-combined count over the banded postings — the
+    * same job that materializes the lazy `localCheckpoint` of the banded
+    * relation, so the signature pipeline runs once, not once per
+    * consumer, and the returned self-join plan carries no guard residue.
     */
   def lshCandidatePairs(sigs: DataFrame, k: Int, bands: Int,
-      maxBandBucket: Long = 100000L): DataFrame = {
+      maxBandBucket: Long = 10000L): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     require(maxBandBucket > 1, s"maxBandBucket=$maxBandBucket must be > 1")
     val r = k / bands
@@ -230,12 +244,15 @@ object Dedup {
       struct(lit(b).as("band"), xxhash64(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
     val exploded = sigs.select(col("id"), explode(bandHashes).as("e"))
       .select(col("id"), col("e.band"), col("e.bh"))
-      .localCheckpoint()
-    val guarded = oversizeGuard(exploded, Seq("band", "bh"), maxBandBucket,
+      .localCheckpoint(eager = false)
+    // construction-time bucket cap; the count job materializes the lazy
+    // checkpoint (signature pipeline runs once) and leaves the returned
+    // self-join plan guard-free
+    assertMaxBucket(exploded, Seq("band", "bh"), maxBandBucket,
       "lshCandidatePairs",
       "the self-join would emit O(size²) candidate pairs; pre-collapse " +
         "exact duplicates (Dedup.dupComponentsCollapsed) or raise maxBandBucket")
-    guarded.as("x").join(exploded.as("y"), Seq("band", "bh"))
+    exploded.as("x").join(exploded.as("y"), Seq("band", "bh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
@@ -255,8 +272,17 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, minJaccard: Double,
       maxShingleDf: Int = Int.MaxValue,
-      maxBandBucket: Long = 100000L): DataFrame = {
-    val sh = shingleIds(docs, idCol, textCol, n).localCheckpoint()
+      maxBandBucket: Long = 10000L): DataFrame = {
+    // default path: LAZY checkpoint — the first action is the single-branch
+    // band-bucket count inside lshCandidatePairs, which materializes the
+    // posting table as it runs (one job instead of eager-ckpt + guard).
+    // With a stop-shingle cap the first job has TWO branches over sh (the
+    // hot-set broadcast build and the probe side), which would race an
+    // unmaterialized lazy checkpoint and compute the shingle pipeline
+    // twice — keep that path eager.
+    val sh0 = shingleIds(docs, idCol, textCol, n)
+    val sh = if (maxShingleDf == Int.MaxValue) sh0.localCheckpoint(eager = false)
+      else sh0.localCheckpoint()
     // hot-shingle set is tiny by definition (few shingles exceed the cap) —
     // broadcast anti-join, no extra shuffle of the posting table
     val shBand =
@@ -319,13 +345,13 @@ object Dedup {
     * at least one band), exact `bit_count` verification on candidates.
     * `maxBandBucket` is the same duplicate-class fan-out guard as
     * [[lshCandidatePairs]] — identical docs share all four bands, so an
-    * uncollapsed viral class would emit O(m²) candidates; the banded
-    * relation is materialized once (eager `localCheckpoint`) and the
-    * expected-empty oversize set broadcasts onto one join side.
+    * uncollapsed viral class would emit O(m²) candidates; the cap is
+    * checked at construction by the same count job that materializes the
+    * banded relation's lazy `localCheckpoint` ([[assertMaxBucket]]).
     */
   def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, tokenHash: Column => Column = xxTokenHash,
-      maxBandBucket: Long = 100000L): DataFrame = {
+      maxBandBucket: Long = 10000L): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for Hamming <= 3")
     require(maxBandBucket > 1, s"maxBandBucket=$maxBandBucket must be > 1")
     val sigs = simhash(docs, idCol, textCol, tokenHash)
@@ -333,12 +359,13 @@ object Dedup {
       col("simhash").bitwiseAND(lit(0xffffL << (16 * b))).as("bv"))): _*)
     val banded = sigs.select(col("id"), col("simhash"), explode(bandArr).as("e"))
       .select(col("id"), col("simhash"), col("e.band"), col("e.bv"))
-      .localCheckpoint()
-    val guarded = oversizeGuard(banded, Seq("band", "bv"), maxBandBucket,
+      .localCheckpoint(eager = false)
+    // construction-time bucket cap; doubles as the checkpoint barrier
+    assertMaxBucket(banded, Seq("band", "bv"), maxBandBucket,
       "simhashDupPairs",
       "pre-collapse exact duplicates (Dedup.dupComponentsCollapsed) or " +
         "raise maxBandBucket")
-    guarded.as("x").join(banded.as("y"), Seq("band", "bv"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bv"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
@@ -473,32 +500,60 @@ object Dedup {
     * The class reduction is the same skew-proof min-aggregate + equi-join
     * shape as [[exact]] (map-side-combined MIN partials — a hot class
     * never funnels one task). The KEYED corpus is materialized once
-    * (eager `localCheckpoint`, see the materialization contract): the
-    * class mapping, the representative slice, the pair pipeline's posting
-    * scan, and the label seed all read the flat checkpoint instead of
-    * re-scanning and re-keying the input — and the keyed corpus is no
-    * bigger than the posting tables those consumers would otherwise each
-    * rebuild it from.
+    * (lazy `localCheckpoint` whose barrier is the class-size aggregation
+    * below — see the materialization contract): the class mapping, the
+    * representative slice, the pair pipeline's posting scan, and the
+    * label seed all read the flat checkpoint instead of re-scanning and
+    * re-keying the input — and the keyed corpus is no bigger than the
+    * posting tables those consumers would otherwise each rebuild it from.
+    * Collapse insurance is PAY-AS-YOU-GO: the class aggregation already
+    * yields the max class size as one scalar, and when it is 1 the rep
+    * slice and both expansion joins are skipped (provably the identity),
+    * so a corpus with no duplicate classes pays only the keyed
+    * checkpoint + one aggregate over it.
     */
   def dupComponentsCollapsed(docs: DataFrame, idCol: String, classKey: Column,
       pairsOfReps: DataFrame => DataFrame, maxIter: Int = 25): DataFrame = {
     val clash = docs.columns.toSet.intersect(Set("_ck", "_rep"))
     require(clash.isEmpty,
       s"column names ${clash.mkString(",")} are reserved by dupComponentsCollapsed")
-    val keyed = docs.withColumn("_ck", classKey).localCheckpoint()
+    val keyed = docs.withColumn("_ck", classKey).localCheckpoint(eager = false)
     val nn = keyed.filter(col("_ck").isNotNull)
-    val keep = nn.groupBy("_ck").agg(min(col(idCol)).as("_rep"))
-    val reps = nn
-      .join(keep.withColumnRenamed("_rep", idCol), Seq("_ck", idCol), "left_semi")
-      .drop("_ck")
-    val comp = dupComponents(reps, idCol, pairsOfReps(reps), maxIter)
-    nn.select(col(idCol).as("id"), col("_ck"))
-      .join(keep, "_ck")
-      .select(col("id"), col("_rep"))
-      .join(comp.withColumnRenamed("id", "_rep"), "_rep")
-      .select("id", "cluster")
-      .unionByName(keyed.filter(col("_ck").isNull)
-        .select(col(idCol).as("id"), col(idCol).as("cluster")))
+    // ONE aggregation job does three things: computes the min-id
+    // representative AND the class sizes, materializes the lazy keyed
+    // checkpoint as it runs, and is itself checkpointed (one tiny relation)
+    // so the rep slice and the expansion join read it flat instead of
+    // re-running the groupBy once per consumer. The max class size falls
+    // out as a 1-row collect — the pay-as-you-go test below costs no
+    // extra pass.
+    val keep = nn.groupBy("_ck")
+      .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_csz"))
+      .localCheckpoint(eager = false)
+    val mxRow = keep.agg(max(col("_csz"))).collect()(0)
+    val maxClass = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    val nulls = keyed.filter(col("_ck").isNull)
+      .select(col(idCol).as("id"), col(idCol).as("cluster"))
+    if (maxClass <= 1L) {
+      // every class is a singleton — the collapse is the identity mapping
+      // (reps == nn, id == _rep), so skip the rep-slice semi-join and both
+      // expansion joins and label the keyed corpus directly. Collapse
+      // insurance is pay-as-you-go: a corpus with no duplicate class pays
+      // only the keyed checkpoint + this aggregate.
+      val flat = nn.drop("_ck")
+      dupComponents(flat, idCol, pairsOfReps(flat), maxIter)
+        .unionByName(nulls)
+    } else {
+      val reps = nn
+        .join(keep.withColumnRenamed("_rep", idCol), Seq("_ck", idCol), "left_semi")
+        .drop("_ck")
+      val comp = dupComponents(reps, idCol, pairsOfReps(reps), maxIter)
+      nn.select(col(idCol).as("id"), col("_ck"))
+        .join(keep, "_ck")
+        .select(col("id"), col("_rep"))
+        .join(comp.withColumnRenamed("id", "_rep"), "_rep")
+        .select("id", "cluster")
+        .unionByName(nulls)
+    }
   }
 
   /** Release the block-manager storage behind a `localCheckpoint`ed

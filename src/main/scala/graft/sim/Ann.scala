@@ -207,23 +207,26 @@ object Ann {
     * (flip one sign bit each) and candidates come from one equi-join on
     * the probed bucket — never an all-pairs scan. The per-query ranking
     * window's input is only that query's probe candidates, bounded by
-    * (nPlanes + 1) · maxBucket thanks to the same oversize guard as
-    * [[cosineDupPairs]] (identical vectors share buckets by design —
-    * pre-collapse exact duplicates for the O(m) path). The bucketed
-    * corpus is materialized once (eager `localCheckpoint`) so the
-    * nPlanes-hyperplane fold runs once, not once per consumer.
+    * (nPlanes + 1) · maxBucket thanks to the same construction-time
+    * bucket cap as [[cosineDupPairs]] (identical vectors share buckets by
+    * design — pre-collapse exact duplicates for the O(m) path). The
+    * bucketed corpus is materialized once — the cap's count job doubles
+    * as the lazy `localCheckpoint`'s barrier — so the nPlanes-hyperplane
+    * fold runs once, not once per consumer.
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64,
-      maxBucket: Long = 100000L): DataFrame = {
+      maxBucket: Long = 10000L): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(nPlanes > 0 && nPlanes < 63, s"nPlanes=$nPlanes out of range")
     require(maxBucket > 1, s"maxBucket=$maxBucket must be > 1")
     val ps = planes(nPlanes, dim)
     val b = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
       .withColumn("_nb", srpBucket(col("_nv"), ps))
-      .localCheckpoint()
-    val guarded = graft.dedup.Dedup.oversizeGuard(b, Seq("_nb"), maxBucket,
+      .localCheckpoint(eager = false)
+    // construction-time corpus-wide bucket cap (Dedup.assertMaxBucket);
+    // the count job doubles as the checkpoint materialization barrier
+    graft.dedup.Dedup.assertMaxBucket(b, Seq("_nb"), maxBucket,
       "knnJoin", "pre-collapse exact-identical vectors or raise maxBucket")
     // each query probes its own bucket + the nPlanes Hamming-1 buckets
     val qb = queries.select(col(idCol).as("id"), col(vecCol).as("_qv"))
@@ -233,7 +236,7 @@ object Ann {
           col("_qb").bitwiseXOR(lit(1L << p))): _*)).as("_nb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("sim").desc, col("neighbor_id"))
-    qb.join(guarded, Seq("_nb"))
+    qb.join(b, Seq("_nb"))
       .filter(col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
         cosine(col("_nv"), col("_qv")).as("sim"))
@@ -249,28 +252,31 @@ object Ann {
     * [[graft.dedup.Dedup.lshCandidatePairs]] contract): identical vectors
     * share their SRP bucket by design, so an uncollapsed m-copy class
     * emits m·(m−1)/2 pairs through the self-join — any bucket beyond the
-    * cap fails the job loudly on the offending key (executor-side
-    * `raise_error`; pre-collapse exact-identical vectors with
+    * cap fails loudly at operator-construction time
+    * ([[graft.dedup.Dedup.assertMaxBucket]], corpus-wide; pre-collapse
+    * exact-identical vectors with
     * [[graft.dedup.Dedup.dupComponentsCollapsed]] keyed on the vector
     * column for the O(m) path). The bucketed relation is materialized
-    * (eager `localCheckpoint`) so the `nPlanes`-hyperplane fold — an
-    * interpreted HOF, the expensive part — runs once, not once per join
-    * side.
+    * once — the cap's count job doubles as the lazy `localCheckpoint`'s
+    * barrier — so the `nPlanes`-hyperplane fold — an interpreted HOF,
+    * the expensive part — runs once, not once per join side.
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minSim: Double, nPlanes: Int = 12, dim: Int = 64,
-      maxBucket: Long = 100000L): DataFrame = {
+      maxBucket: Long = 10000L): DataFrame = {
     require(maxBucket > 1, s"maxBucket=$maxBucket must be > 1")
     val ps = planes(nPlanes, dim)
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", srpBucket(col("v"), ps))
-      .localCheckpoint()
-    val guarded = graft.dedup.Dedup.oversizeGuard(b, Seq("bucket"), maxBucket,
+      .localCheckpoint(eager = false)
+    // construction-time corpus-wide bucket cap (Dedup.assertMaxBucket);
+    // the count job doubles as the checkpoint materialization barrier
+    graft.dedup.Dedup.assertMaxBucket(b, Seq("bucket"), maxBucket,
       "cosineDupPairs",
       "the self-join would emit O(size²) pairs; pre-collapse " +
         "exact-identical vectors (Dedup.dupComponentsCollapsed on the " +
         "vector column) or raise maxBucket")
-    guarded.as("x").join(b.as("y"), Seq("bucket"))
+    b.as("x").join(b.as("y"), Seq("bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         cosine(col("x.v"), col("y.v")).as("sim"))
