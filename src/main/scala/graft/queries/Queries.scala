@@ -513,6 +513,14 @@ object Queries {
       .filter(col("tokens") >= 30)
       .filter(graft.text.TextAnalysis.langIdScored(col("text"), col("_t")) === "en")
       .select("doc_id", "text", "tokens")
+      // the gated slice feeds the exact-dedup semi-join (both sides), the
+      // decontamination gram scan AND the final anti-join probe — without
+      // materialization the interpreted tokenizer+langId pipeline (the
+      // expensive part) re-runs once per consumer (~4-6x measured in the
+      // plan). Eager, not lazy: the first downstream action reads it from
+      // several concurrent branches (see the Dedup materialization
+      // contract). Result unchanged — same logical computation, one scan.
+      .localCheckpoint()
     val deduped = graft.dedup.Dedup.exact(gated, "doc_id", "text")
     val contaminated = graft.dedup.Dedup.decontaminate(deduped, "doc_id", "text",
       bench, "doc_id", "text", n = 5)

@@ -73,29 +73,52 @@ object TextAnalysis {
     * words, not punctuation soup).
     */
   def quality(text: Column): Column = {
-    val chars = length(text)
-    val toks = tokens(text)
-    val nTok = size(toks)
-    val meanTokLen = when(nTok > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
-      .otherwise(lit(0.0))
-    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
-    val punctRatio = when(chars > 0, punct.cast("double") / chars).otherwise(0.0)
     val enStops = stopwords("en")
-    val stopRatio = when(nTok > 0,
-      size(filter(toks, t => t.isInCollection(enStops))).cast("double") / nTok)
-      .otherwise(0.0)
-    val lenOk = when(chars.between(20, 100000), 1.0).otherwise(0.0)
-    val tokOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio < 0.2, 1.0).otherwise(0.0)
-    val score = (lenOk + tokOk + punctOk + least(stopRatio * 5, lit(1.0))) / 4.0
-    struct(
-      chars.cast("long").as("chars"),
-      nTok.cast("long").as("tokens"),
-      meanTokLen.as("mean_token_len"),
-      punctRatio.as("punct_ratio"),
-      stopRatio.as("stop_ratio"),
-      score.as("quality"))
+    // ONE pass over ONE tokenizer evaluation: token count, total token
+    // length and stopword hits fold together in a struct accumulator.
+    // Interpreted HOFs (CodegenFallback) do no common-subexpression
+    // elimination, so the previous shape — size/aggregate/filter each
+    // referencing tokens(text), and the derived ratios referenced again
+    // by the score terms — re-ran the regex tokenizer ~a dozen times per
+    // row. Every output value is bit-identical: the same integer counts
+    // feed the same double divisions.
+    val tokStats = aggregate(tokens(text),
+      struct(lit(0L).as("n"), lit(0L).as("len"), lit(0L).as("stop")),
+      (acc, t) => struct(
+        (acc.getField("n") + lit(1L)).as("n"),
+        (acc.getField("len") + length(t)).as("len"),
+        (acc.getField("stop") +
+          when(t.isInCollection(enStops), lit(1L)).otherwise(lit(0L))).as("stop")))
+    // bind the fold result (and the two char counts) to a lambda variable
+    // via a 1-element transform: downstream references are variable reads,
+    // never re-evaluations of the fold
+    val bound = struct(
+      length(text).as("chars"),
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).as("punct"),
+      tokStats.as("ts"))
+    element_at(transform(array(bound), r => {
+      val chars = r.getField("chars")
+      val nTok = r.getField("ts").getField("n")
+      val meanTokLen = when(nTok > 0,
+        r.getField("ts").getField("len").cast("double") / nTok)
+        .otherwise(lit(0.0))
+      val punctRatio = when(chars > 0, r.getField("punct").cast("double") / chars)
+        .otherwise(0.0)
+      val stopRatio = when(nTok > 0,
+        r.getField("ts").getField("stop").cast("double") / nTok)
+        .otherwise(0.0)
+      val lenOk = when(chars.between(20, 100000), 1.0).otherwise(0.0)
+      val tokOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+      val punctOk = when(punctRatio < 0.2, 1.0).otherwise(0.0)
+      val score = (lenOk + tokOk + punctOk + least(stopRatio * 5, lit(1.0))) / 4.0
+      struct(
+        chars.cast("long").as("chars"),
+        nTok.as("tokens"),
+        meanTokLen.as("mean_token_len"),
+        punctRatio.as("punct_ratio"),
+        stopRatio.as("stop_ratio"),
+        score.as("quality"))
+    }), 1)
   }
 
   /** 64-bit content fingerprint over normalized text (whitespace collapsed,
