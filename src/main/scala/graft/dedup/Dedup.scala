@@ -405,11 +405,15 @@ object Dedup {
     // at sf0.1 — dominating the tiny-data rounds); the checkpoint truncates
     // lineage so every loop job plans against a flat LogicalRDD. Freed at
     // the end — no round output references sym past its own checkpoint.
+    // LAZY: the first action to touch sym is the seed-labels checkpoint
+    // job below, which reads it through exactly ONE branch (the seed
+    // aggregate) — the pair pipeline materializes into sym's blocks as
+    // that job runs, saving the separate eager-checkpoint job round 5 paid
     val sym = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // seed labels with min(id, min neighbor) — one aggregation that saves a
     // full propagation round on the common shallow clusters (dup triangles
     // converge after a single verify round). The seed checkpoint stays

@@ -128,8 +128,11 @@ object SubstringDedup {
     // the token arrays feed BOTH the gram pipeline and the survivor
     // reassembly — materialize the tokenize pass once instead of running
     // the regex tokenizer (the expensive interpreted part) over the
-    // corpus twice
-    val toked = tokenized(docs, idCol, textCol).localCheckpoint()
+    // corpus twice. LAZY: the first action is the gram table's eager
+    // checkpoint job, which reads toked through exactly one branch, so
+    // the tokenize pass lands in toked's blocks during that job (no
+    // separate materialization job)
+    val toked = tokenized(docs, idCol, textCol).localCheckpoint(eager = false)
     val (grams, starts) = dupStartTables(toked, k, minCount)
     val covered = starts
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
