@@ -166,22 +166,31 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, maxPostingList: Long = 10000L): DataFrame = {
+    require(maxPostingList > 1,
+      s"jaccardPairs: bucket cap=$maxPostingList must be > 1")
     val sh = shingleIds(docs, idCol, textCol, n).localCheckpoint(eager = false)
-    // construction-time posting-list cap (per-shingle count over sh equals
-    // the df of the filtered posting table below — cap > 1 ≥ any df-1
-    // singleton); this one job also materializes the lazy checkpoint
-    assertMaxBucket(sh, Seq("shingle"), maxPostingList,
-      "jaccardPairs",
-      "a hot shingle makes the exact posting self-join quadratic; use " +
-        "minhashDupPairs(maxShingleDf) as the scale path or raise " +
-        "maxPostingList")
+    // per-shingle document frequency serves BOTH the guard and the df≥2
+    // restriction below — checkpointed so the guard's count job (which
+    // also materializes sh) does work the main job then reuses instead of
+    // re-aggregating the posting table
+    val dfAgg = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .localCheckpoint(eager = false)
+    // construction-time posting-list cap (the df of a shingle IS its
+    // posting-list size; cap > 1 ≥ any df-1 singleton); this one job
+    // materializes sh and dfAgg together
+    val mxRow = dfAgg.agg(max(col("_df"))).collect()(0)
+    val worst = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    if (worst > maxPostingList) throw new IllegalStateException(
+      s"jaccardPairs: a bucket holds more rows than the cap $maxPostingList " +
+        s"(size=$worst) — a hot shingle makes the exact posting self-join " +
+        "quadratic; use minhashDupPairs(maxShingleDf) as the scale path or " +
+        "raise maxPostingList")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // a shingle with document frequency 1 can never contribute to a pair:
     // dropping those postings BEFORE the quadratic self-join shrinks its
     // input to the (typically small) co-occurring subset without changing
     // the intersection counts — exactness preserved
-    val coOccurring = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= 2).select("shingle")
+    val coOccurring = dfAgg.filter(col("_df") >= 2).select("shingle")
     val shP = sh.join(coOccurring, Seq("shingle"), "left_semi")
     val inter = shP.as("x").join(shP.as("y"), "shingle")
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
